@@ -1,0 +1,69 @@
+"""Solver configuration: one dataclass replacing the reference's flag zoo.
+
+The reference scatters configuration over three tiers (SURVEY.md §5):
+``ProblemName.txt`` -> deck name, `.inp` header -> physics/numerics, and
+compile-time ``-D`` flags -> precision & solver backend selection
+(``blascoCodinaHuerta.cpp:130-134``, ``segregatedSolver.cpp:14-21``).
+Here everything is a runtime field on :class:`SolverConfig`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+import numpy as np
+
+__all__ = ["DTypePolicy", "SolverConfig"]
+
+
+class DTypePolicy(str, enum.Enum):
+    """Precision policy (supersedes the reference's ``-DSINGLE``).
+
+    * ``F64``   — double everywhere (reference parity; needs jax x64).
+    * ``F32``   — single everywhere (TPU speed mode).
+    * ``MIXED`` — f32 state/operators, f64 Krylov reductions.
+    """
+
+    F64 = "f64"
+    F32 = "f32"
+    MIXED = "mixed"
+
+    @property
+    def state_dtype(self):
+        return np.float64 if self is DTypePolicy.F64 else np.float32
+
+    @property
+    def reduce_dtype(self):
+        return np.float32 if self is DTypePolicy.F32 else np.float64
+
+
+@dataclasses.dataclass
+class SolverConfig:
+    """Runtime knobs common to all solvers."""
+
+    dtype_policy: DTypePolicy = DTypePolicy.F64
+    # Pressure-Poisson CG (ref MKL dcg: tol 1e-12 / maxit 1000, Jacobi;
+    # blascoCodinaHuerta.cpp:4013-4018).
+    pressure_cg_tol: float = 1e-12
+    pressure_cg_maxiter: int = 1000
+    # Momentum BiCGStab (ref Paralution: abs 1e-15 / rel 1e-6 / maxit 1000;
+    # guermondQuartapelle.cpp:4210-4213).
+    momentum_tol: float = 1e-6
+    momentum_abs_tol: float = 1e-15
+    momentum_maxiter: int = 1000
+    # Pressure pin LARGE-number trick (ref :4167-4180).
+    pressure_pin_large: float = 1000.0
+    # Linear-solver backend name: "cg", "cr", "bicg", "bicgstab", "gmres".
+    momentum_solver: str = "bicgstab"
+    pressure_solver: str = "cg"
+    gmres_restart: int = 100
+    # Steps fused into one jitted device loop (0/1 = one step per dispatch).
+    steps_per_chunk: int = 10
+    # Print per-step monitor rows like the reference's monitor table.
+    verbose: bool = False
+
+    def jnp_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.float64 if self.dtype_policy is DTypePolicy.F64 else jnp.float32

@@ -1,0 +1,29 @@
+"""Test harness configuration.
+
+Tests run on a *virtual 8-device CPU mesh* so multi-chip sharding logic is
+exercised without TPU hardware, and with jax x64 enabled so f64 parity
+against the numpy oracle is exact.  These env vars must be set before jax
+is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(20260816)
