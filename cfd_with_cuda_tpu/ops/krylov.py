@@ -1,0 +1,331 @@
+"""Krylov solver suite: CG, CR, BiCG, BiCGStab, GMRES(restart) + Jacobi.
+
+One jitted ``lax.while_loop`` implementation per method, replacing the
+reference's five vendor backends (MKL RCI dcg/dfgmres, CUSP
+cg/cr/bicg/bicgstab/gmres, Paralution BiCGStab, CULA — SURVEY.md §2.4)
+with fused SpMV/dot/axpy bodies that never leave the device.
+
+All methods accept a ``matvec`` callable and right-hand sides shaped
+``(N,)`` or ``(N, C)`` — inner products reduce over axis 0 only, so C
+independent systems (e.g. the 3 momentum directions that the reference
+solves sequentially, ``guermondQuartapelle.cpp:3972-4033``) share
+iterations and converge when the *worst* column converges.
+
+Default tolerances mirror the reference exactly:
+* CG (pressure): rel 1e-12, maxit 1000, Jacobi (``blascoCodinaHuerta.cpp
+  :4013-4018``); the CUSP GPU path uses rel 1e-6 (``CUDAcodes.cu:433-442``).
+* BiCGStab (momentum): abs 1e-15 / rel 1e-6 / maxit 1000, Jacobi
+  (``guermondQuartapelle.cpp:4210-4213``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["KrylovResult", "cg", "cr", "bicg", "bicgstab", "gmres", "solver_by_name"]
+
+
+class KrylovResult(NamedTuple):
+    x: jax.Array
+    iters: jax.Array          # iterations actually performed
+    residual: jax.Array       # final ||r|| (max over batched columns)
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=0)
+
+
+def _norm(a):
+    return jnp.sqrt(jnp.sum(a * a, axis=0))
+
+
+def _max(a):
+    """Max over batched columns (no-op for single systems)."""
+    return jnp.max(a) if a.ndim else a
+
+
+def _identity_precond(r):
+    return r
+
+
+def _tol_bound(b, tol, atol):
+    return jnp.maximum(tol * _max(_norm(b)), atol)
+
+
+def cg(
+    matvec: Callable,
+    b: jax.Array,
+    x0: jax.Array | None = None,
+    *,
+    tol: float = 1e-12,
+    atol: float = 0.0,
+    maxiter: int = 1000,
+    precond: Callable | None = None,
+) -> KrylovResult:
+    """Preconditioned conjugate gradient (SPD systems)."""
+    M = precond or _identity_precond
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - matvec(x)
+    z = M(r)
+    p = z
+    rz = _dot(r, z)
+    bound = _tol_bound(b, tol, atol)
+
+    def cond(state):
+        x, r, z, p, rz, k = state
+        return (k < maxiter) & (_max(_norm(r)) > bound)
+
+    def body(state):
+        x, r, z, p, rz, k = state
+        Ap = matvec(p)
+        alpha = rz / _dot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = _dot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return x, r, z, p, rz_new, k + 1
+
+    x, r, z, p, rz, k = lax.while_loop(cond, body, (x, r, z, p, rz, 0))
+    return KrylovResult(x, k, _max(_norm(r)))
+
+
+def cr(
+    matvec: Callable,
+    b: jax.Array,
+    x0: jax.Array | None = None,
+    *,
+    tol: float = 1e-6,
+    atol: float = 0.0,
+    maxiter: int = 1000,
+    precond: Callable | None = None,
+) -> KrylovResult:
+    """Preconditioned conjugate residual (symmetric systems)."""
+    M = precond or _identity_precond
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - matvec(x)
+    z = M(r)
+    p = z
+    Az = matvec(z)
+    Ap = Az
+    rAz = _dot(r, Az)
+    bound = _tol_bound(b, tol, atol)
+
+    def cond(state):
+        x, r, z, p, Ap, rAz, k = state
+        return (k < maxiter) & (_max(_norm(r)) > bound)
+
+    def body(state):
+        x, r, z, p, Ap, rAz, k = state
+        MAp = M(Ap)
+        alpha = rAz / _dot(Ap, MAp)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        Az = matvec(z)
+        rAz_new = _dot(r, Az)
+        beta = rAz_new / rAz
+        p = z + beta * p
+        Ap = Az + beta * Ap
+        return x, r, z, p, Ap, rAz_new, k + 1
+
+    x, r, z, p, Ap, rAz, k = lax.while_loop(cond, body, (x, r, z, p, Ap, rAz, 0))
+    return KrylovResult(x, k, _max(_norm(r)))
+
+
+def bicg(
+    matvec: Callable,
+    b: jax.Array,
+    x0: jax.Array | None = None,
+    *,
+    rmatvec: Callable | None = None,
+    tol: float = 1e-6,
+    atol: float = 0.0,
+    maxiter: int = 1000,
+    precond: Callable | None = None,
+) -> KrylovResult:
+    """BiConjugate gradient (general systems; needs A^T matvec).
+
+    When ``rmatvec`` is omitted the operator is assumed symmetric.
+    """
+    M = precond or _identity_precond
+    At = rmatvec or matvec
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - matvec(x)
+    rt = r
+    z = M(r)
+    zt = M(rt)
+    p, pt = z, zt
+    rz = _dot(rt, z)
+    bound = _tol_bound(b, tol, atol)
+
+    def cond(state):
+        x, r, rt, p, pt, rz, k = state
+        return (k < maxiter) & (_max(_norm(r)) > bound)
+
+    def body(state):
+        x, r, rt, p, pt, rz, k = state
+        Ap = matvec(p)
+        Atpt = At(pt)
+        alpha = rz / _dot(pt, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rt = rt - alpha * Atpt
+        z = M(r)
+        zt = M(rt)
+        rz_new = _dot(rt, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        pt = zt + beta * pt
+        return x, r, rt, p, pt, rz_new, k + 1
+
+    x, r, rt, p, pt, rz, k = lax.while_loop(cond, body, (x, r, rt, p, pt, rz, 0))
+    return KrylovResult(x, k, _max(_norm(r)))
+
+
+def bicgstab(
+    matvec: Callable,
+    b: jax.Array,
+    x0: jax.Array | None = None,
+    *,
+    tol: float = 1e-6,
+    atol: float = 1e-15,
+    maxiter: int = 1000,
+    precond: Callable | None = None,
+) -> KrylovResult:
+    """Preconditioned BiCGStab (general systems) — the reference's momentum
+    solver (Paralution / cusp::krylov::bicgstab)."""
+    M = precond or _identity_precond
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - matvec(x)
+    rhat = r
+    rho = _dot(rhat, r)
+    p = r
+    bound = _tol_bound(b, tol, atol)
+
+    def cond(state):
+        x, r, p, rho, k = state
+        return (k < maxiter) & (_max(_norm(r)) > bound)
+
+    def body(state):
+        x, r, p, rho, k = state
+        phat = M(p)
+        v = matvec(phat)
+        alpha = rho / _dot(rhat, v)
+        s = r - alpha * v
+        shat = M(s)
+        t = matvec(shat)
+        tt = _dot(t, t)
+        omega = _dot(t, s) / jnp.where(tt == 0.0, 1.0, tt)
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        rho_new = _dot(rhat, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        return x, r, p, rho_new, k + 1
+
+    x, r, p, rho, k = lax.while_loop(cond, body, (x, r, p, rho, 0))
+    return KrylovResult(x, k, _max(_norm(r)))
+
+
+def _gmres_single(
+    matvec, b, x0, *, tol, atol, maxiter, restart, precond
+) -> KrylovResult:
+    """Restarted GMRES on a single (N,) system, right-preconditioned."""
+    M = precond or _identity_precond
+    n = b.shape[0]
+    m = restart
+    bound = jnp.maximum(tol * jnp.linalg.norm(b), atol)
+    eps = jnp.finfo(b.dtype).tiny
+
+    def arnoldi_cycle(x):
+        r = b - matvec(x)
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), b.dtype).at[0].set(r / jnp.maximum(beta, eps))
+        H = jnp.zeros((m + 1, m), b.dtype)
+
+        def arnoldi_step(j, carry):
+            V, H = carry
+            w = matvec(M(V[j]))
+            # modified Gram-Schmidt against all basis vectors (masked)
+            mask = (jnp.arange(m + 1) <= j).astype(b.dtype)
+            h = (V @ w) * mask
+            w = w - h @ V
+            hj1 = jnp.linalg.norm(w)
+            V = V.at[j + 1].set(w / jnp.maximum(hj1, eps))
+            H = H.at[:, j].set(h).at[j + 1, j].set(hj1)
+            return V, H
+
+        V, H = lax.fori_loop(0, m, arnoldi_step, (V, H))
+        # least squares: min ||beta e1 - H y||
+        e1 = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
+        y, *_ = jnp.linalg.lstsq(H, e1)
+        x = x + M(y @ V[:m])
+        return x
+
+    def cond(state):
+        x, k = state
+        r = b - matvec(x)
+        return (k < maxiter) & (jnp.linalg.norm(r) > bound)
+
+    def body(state):
+        x, k = state
+        return arnoldi_cycle(x), k + m
+
+    x = jnp.zeros_like(b) if x0 is None else x0
+    x, k = lax.while_loop(cond, body, (x, 0))
+    return KrylovResult(x, k, jnp.linalg.norm(b - matvec(x)))
+
+
+def gmres(
+    matvec: Callable,
+    b: jax.Array,
+    x0: jax.Array | None = None,
+    *,
+    tol: float = 1e-6,
+    atol: float = 0.0,
+    maxiter: int = 1000,
+    restart: int = 100,
+    precond: Callable | None = None,
+) -> KrylovResult:
+    """Restarted GMRES — the reference's CUSP momentum/monolithic solver
+    (``oldFiles/segregatedSolver/CUSP_GMRES.cu:75``, restart=100).
+
+    Batched (N, C) right-hand sides are handled per column via ``vmap``.
+    """
+    if b.ndim == 1:
+        return _gmres_single(
+            matvec, b, x0, tol=tol, atol=atol, maxiter=maxiter,
+            restart=restart, precond=precond,
+        )
+
+    def solve_col(bc, x0c):
+        return _gmres_single(
+            matvec, bc, x0c, tol=tol, atol=atol, maxiter=maxiter,
+            restart=restart, precond=precond,
+        )
+
+    x0_cols = jnp.zeros_like(b) if x0 is None else x0
+    res = jax.vmap(solve_col, in_axes=(1, 1), out_axes=(1, 0, 0))(b, x0_cols)
+    return KrylovResult(res.x, jnp.max(res.iters), jnp.max(res.residual))
+
+
+_SOLVERS = {"cg": cg, "cr": cr, "bicg": bicg, "bicgstab": bicgstab, "gmres": gmres}
+
+
+def solver_by_name(name: str, **fixed) -> Callable:
+    """Look up a Krylov method (the runtime analogue of the reference's
+    compile-time ``-DCG_CUDA/-DGMRES_CUSP/...`` backend selection)."""
+    try:
+        fn = _SOLVERS[name.lower()]
+    except KeyError:
+        raise ValueError(
+            f"unknown solver {name!r}; available: {sorted(_SOLVERS)}"
+        ) from None
+    return functools.partial(fn, **fixed) if fixed else fn

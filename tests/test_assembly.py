@@ -1,0 +1,149 @@
+"""Operator assembly vs the independent dense loop-nest oracle (NE=1..8),
+sparsity/scatter-map correctness, and ELL layout round-trips."""
+
+import numpy as np
+import pytest
+
+from cfd_with_cuda_tpu.fem.assembly import (
+    assemble_operators,
+    elemental_mass,
+)
+from cfd_with_cuda_tpu.fem.jacobian import build_element_tables
+from cfd_with_cuda_tpu.fem.sparse import build_csr_pattern, ell_from_csr
+from cfd_with_cuda_tpu.mesh.generators import cube_hex_mesh
+from cfd_with_cuda_tpu.mesh.topology import promote_hex_mesh
+from cfd_with_cuda_tpu.oracle import dense_assembly as oracle
+
+
+@pytest.fixture(scope="module", params=[2, 3])
+def small_mesh(request):
+    coords, conn = cube_hex_mesh(request.param, cluster=0.8)
+    mesh = promote_hex_mesh(conn, coords)
+    tab = build_element_tables(mesh.coords, mesh.ltog_node)
+    return mesh, tab
+
+
+def test_csr_pattern_and_scatter_map(small_mesh):
+    mesh, tab = small_mesh
+    pat = build_csr_pattern(mesh.ltog_node, mesh.ltog_node, mesh.nn, mesh.nn)
+    Me = elemental_mass(tab)
+    M_sparse = pat.to_scipy(pat.assemble(Me)).toarray()
+    M_dense = oracle.dense_mass(tab, mesh.ltog_node, mesh.nn)
+    np.testing.assert_allclose(M_sparse, M_dense, atol=1e-13)
+
+
+def test_assembled_operators_match_oracle(small_mesh):
+    mesh, tab = small_mesh
+    nu, rho = 0.37, 2.0
+    ops = assemble_operators(
+        tab, mesh.ltog_node, mesh.nn, mesh.ncn, viscosity=nu, density=rho
+    )
+    K_dense = oracle.dense_stiffness(tab, mesh.ltog_node, mesh.nn, nu)
+    np.testing.assert_allclose(ops.K_csr().toarray(), K_dense, atol=1e-12)
+    G_dense = oracle.dense_gradient(tab, mesh.ltog_node, mesh.nn, mesh.ncn, rho)
+    for d in range(3):
+        np.testing.assert_allclose(ops.G_csr(d).toarray(), G_dense[d], atol=1e-13)
+    # lumped mass = row sums of consistent mass; total = 3? no: sum = volume
+    M_dense = oracle.dense_mass(tab, mesh.ltog_node, mesh.nn)
+    np.testing.assert_allclose(ops.Md, M_dense.sum(axis=1), atol=1e-13)
+    assert np.isclose(ops.Md.sum(), 1.0)  # total mass = cavity volume
+
+    # Z (product mode) == G^T Md^-1 G computed densely
+    Z_dense = sum(
+        G_dense[d].T @ np.diag(1.0 / ops.Md) @ G_dense[d] for d in range(3)
+    )
+    np.testing.assert_allclose(ops.Z.toarray(), Z_dense, atol=1e-12)
+    # Z is symmetric positive semidefinite
+    np.testing.assert_allclose(ops.Z.toarray(), ops.Z.toarray().T, atol=1e-12)
+    w = np.linalg.eigvalsh(ops.Z.toarray())
+    assert w.min() > -1e-10
+
+
+def test_direct_z_matches_oracle(small_mesh):
+    mesh, tab = small_mesh
+    ops = assemble_operators(
+        tab, mesh.ltog_node, mesh.nn, mesh.ncn,
+        viscosity=1.0, density=1.0, z_mode="direct",
+    )
+    ltog_p = mesh.ltog_node[:, :8]
+    Z_dense = oracle.dense_pressure_laplacian(tab, ltog_p, mesh.ncn)
+    np.testing.assert_allclose(ops.Z.toarray(), Z_dense, atol=1e-12)
+    # negative semidefinite with the implicit solver's sign convention
+    w = np.linalg.eigvalsh(ops.Z.toarray())
+    assert w.max() < 1e-10
+
+
+def test_stiffness_annihilates_constants(small_mesh):
+    mesh, tab = small_mesh
+    ops = assemble_operators(
+        tab, mesh.ltog_node, mesh.nn, mesh.ncn, viscosity=1.0, density=1.0
+    )
+    ones = np.ones(mesh.nn)
+    np.testing.assert_allclose(ops.K_csr() @ ones, 0.0, atol=1e-12)
+
+
+def test_ell_roundtrip(small_mesh):
+    mesh, tab = small_mesh
+    pat = build_csr_pattern(mesh.ltog_node, mesh.ltog_node, mesh.nn, mesh.nn)
+    vals = pat.assemble(elemental_mass(tab))
+    ell = ell_from_csr(pat, values=vals)
+    assert ell.pad % 8 == 0
+    # dense reconstruction from ELL equals CSR dense
+    dense = np.zeros((mesh.nn, mesh.nn))
+    np.add.at(dense, (np.repeat(np.arange(mesh.nn), ell.pad), ell.cols.ravel()),
+              ell.vals.ravel())
+    np.testing.assert_allclose(dense, pat.to_scipy(vals).toarray(), atol=1e-13)
+    # with_values refresh matches
+    ell2 = ell.with_values(2.0 * vals)
+    np.testing.assert_allclose(ell2, 2.0 * ell.vals, atol=1e-13)
+
+
+def test_ell_spmv_matches_scipy(small_mesh):
+    import jax.numpy as jnp
+
+    from cfd_with_cuda_tpu.ops.spmv import ell_spmv
+
+    mesh, tab = small_mesh
+    rng = np.random.default_rng(0)
+    ops = assemble_operators(
+        tab, mesh.ltog_node, mesh.nn, mesh.ncn, viscosity=0.7, density=1.3
+    )
+    K = ops.K_csr()
+    ell = ell_from_csr(ops.pattern_m, values=ops.K)
+    x = rng.standard_normal(mesh.nn)
+    y = ell_spmv(jnp.asarray(ell.vals), jnp.asarray(ell.cols), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), K @ x, atol=1e-12)
+    # batched 3-component SpMV
+    X = rng.standard_normal((mesh.nn, 3))
+    Y = ell_spmv(jnp.asarray(ell.vals), jnp.asarray(ell.cols), jnp.asarray(X))
+    np.testing.assert_allclose(np.asarray(Y), K @ X, atol=1e-12)
+
+
+def test_convection_matrix_free_matches_oracle(small_mesh):
+    import jax.numpy as jnp
+
+    from cfd_with_cuda_tpu.ops.spmv import convection_apply, convection_assemble_csr
+
+    mesh, tab = small_mesh
+    rng = np.random.default_rng(1)
+    u0 = rng.standard_normal((mesh.nn, 3))
+    uprev = rng.standard_normal((mesh.nn, 3))
+    A_dense = oracle.dense_convection(tab, mesh.ltog_node, mesh.nn, u0)
+
+    out = convection_apply(
+        jnp.asarray(u0), jnp.asarray(uprev), jnp.asarray(mesh.ltog_node),
+        jnp.asarray(tab.Sv), jnp.asarray(tab.gDSv), jnp.asarray(tab.gq_factor),
+        mesh.nn,
+    )
+    np.testing.assert_allclose(np.asarray(out), A_dense @ uprev, atol=1e-11)
+
+    # assembled CSR values variant (implicit solver LHS)
+    pat = build_csr_pattern(mesh.ltog_node, mesh.ltog_node, mesh.nn, mesh.nn)
+    vals = convection_assemble_csr(
+        jnp.asarray(u0), jnp.asarray(mesh.ltog_node),
+        jnp.asarray(tab.Sv), jnp.asarray(tab.gDSv), jnp.asarray(tab.gq_factor),
+        jnp.asarray(pat.scatter), pat.nnz,
+    )
+    np.testing.assert_allclose(
+        pat.to_scipy(np.asarray(vals)).toarray(), A_dense, atol=1e-11
+    )

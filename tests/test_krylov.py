@@ -1,0 +1,120 @@
+"""Krylov suite tests vs scipy direct solves on small random systems and
+on the assembled pressure-Poisson operator."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cfd_with_cuda_tpu.fem.assembly import assemble_operators
+from cfd_with_cuda_tpu.fem.jacobian import build_element_tables
+from cfd_with_cuda_tpu.mesh.generators import cube_hex_mesh
+from cfd_with_cuda_tpu.mesh.topology import promote_hex_mesh
+from cfd_with_cuda_tpu.ops import krylov
+
+
+def _spd(n, rng):
+    A = rng.standard_normal((n, n))
+    return A @ A.T + n * np.eye(n)
+
+
+def _general(n, rng):
+    A = rng.standard_normal((n, n)) + n * np.eye(n)
+    return A
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.mark.parametrize("method", ["cg", "cr"])
+def test_symmetric_solvers(method, rng):
+    n = 40
+    A = _spd(n, rng)
+    b = rng.standard_normal(n)
+    solve = krylov.solver_by_name(method)
+    res = solve(lambda x: jnp.asarray(A) @ x, jnp.asarray(b), tol=1e-12, maxiter=500)
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b), atol=1e-8)
+    assert int(res.iters) < 500
+
+
+@pytest.mark.parametrize("method", ["bicgstab", "gmres"])
+def test_general_solvers(method, rng):
+    n = 40
+    A = _general(n, rng)
+    b = rng.standard_normal(n)
+    solve = krylov.solver_by_name(method)
+    res = solve(lambda x: jnp.asarray(A) @ x, jnp.asarray(b), tol=1e-10, maxiter=500)
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b), atol=1e-6)
+
+
+def test_bicg_with_rmatvec(rng):
+    n = 30
+    A = _general(n, rng)
+    b = rng.standard_normal(n)
+    res = krylov.bicg(
+        lambda x: jnp.asarray(A) @ x,
+        jnp.asarray(b),
+        rmatvec=lambda x: jnp.asarray(A.T) @ x,
+        tol=1e-12,
+        maxiter=500,
+    )
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b), atol=1e-7)
+
+
+def test_batched_columns(rng):
+    """(N, 3) right-hand sides solve the 3 systems in shared iterations."""
+    n = 40
+    A = _spd(n, rng)
+    B = rng.standard_normal((n, 3))
+    res = krylov.cg(lambda x: jnp.asarray(A) @ x, jnp.asarray(B), tol=1e-12, maxiter=500)
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, B), atol=1e-8)
+
+
+def test_jacobi_preconditioner_reduces_iterations(rng):
+    n = 60
+    # badly scaled SPD system
+    d = np.geomspace(1.0, 1e6, n)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A = (Q * d) @ Q.T + np.diag(d)
+    b = rng.standard_normal(n)
+    diag = jnp.asarray(np.diag(A))
+    mv = lambda x: jnp.asarray(A) @ x
+    plain = krylov.cg(mv, jnp.asarray(b), tol=1e-10, maxiter=2000)
+    precond = krylov.cg(
+        mv, jnp.asarray(b), tol=1e-10, maxiter=2000, precond=lambda r: r / diag
+    )
+    assert int(precond.iters) <= int(plain.iters)
+    np.testing.assert_allclose(
+        np.asarray(precond.x), np.linalg.solve(A, b), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_cg_on_pressure_poisson_with_pin(rng):
+    """CG solves the pinned Z system of a real cavity mesh — the standalone
+    Poisson capability (reference MKL_CG_solver, tol 1e-12 / Jacobi)."""
+    coords, conn = cube_hex_mesh(3)
+    mesh = promote_hex_mesh(conn, coords)
+    tab = build_element_tables(mesh.coords, mesh.ltog_node)
+    ops = assemble_operators(
+        tab, mesh.ltog_node, mesh.nn, mesh.ncn, viscosity=0.01, density=1.0
+    )
+    Z = ops.Z.toarray()
+    pin = 13  # interior corner node
+    Z[pin, pin] *= 1000.0  # the reference's LARGE-number pressure pin
+    b = rng.standard_normal(mesh.ncn)
+    b -= b.mean()  # compatible RHS
+    b[pin] = 0.0
+    diag = jnp.asarray(np.diag(Z))
+    res = krylov.cg(
+        lambda x: jnp.asarray(Z) @ x,
+        jnp.asarray(b),
+        tol=1e-12,
+        maxiter=1000,
+        precond=lambda r: r / diag,
+    )
+    x = np.asarray(res.x)
+    resid = np.linalg.norm(Z @ x - b) / np.linalg.norm(b)
+    assert resid < 1e-11
+    assert int(res.iters) < 1000
