@@ -1,0 +1,388 @@
+"""Explicit fractional-step solver (Blasco-Codina-Huerta 1998).
+
+TPU-native rebuild of the reference flagship
+(``fractionalStep/explicit/Cpp/blascoCodinaHuerta.cpp``): Q2/Q1 hexes
+(27-node velocity, 8-node pressure), lumped-mass explicit predictor,
+pressure-Poisson solve on Z = G^T Md^-1 G, projection, with ``maxIter``
+nonlinear sub-iterations per time step (``timeLoop`` :2815-3120,
+``step1/2/3`` :3692-3974).
+
+TPU-first design decisions (SURVEY.md §7):
+
+* The *entire* time step — sub-iteration loop, CG solve included — is one
+  jitted function; ``steps_per_chunk`` of them are fused into a single
+  ``lax.while_loop`` dispatch, so there are **zero host round-trips per
+  step** (the reference GPU path syncs scalars + copies the full monitor
+  state to host every step, ``CUDAcodes.cu:1090-1143``).
+* Convection is matrix-free (gather -> einsum -> segment_sum), mirroring
+  the reference GPU kernel's "never materialise A" trick
+  (``CUDAcodes.cu:848-887``) without its mesh-coloring machinery.
+* Constant operators K, G, G^T, Z live in HBM as padded ELL.
+* Dirichlet velocity BCs are the reference's exact recipe: Md := 1 at BC
+  rows (``applyBC_Step1(1)`` :4129-4135), RHS rows zeroed (R1/R3 hold
+  velocity *increments* at BC nodes, :4137-4146, :4192-4207); the pressure
+  pin multiplies Z[pin,pin] by LARGE=1000 (:4167-4180).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from cfd_with_cuda_tpu.fem.assembly import assemble_operators
+from cfd_with_cuda_tpu.fem.jacobian import build_element_tables
+from cfd_with_cuda_tpu.fem.sparse import ell_from_csr
+from cfd_with_cuda_tpu.io.deck import Deck
+from cfd_with_cuda_tpu.mesh.topology import (
+    face_bc_to_node_bc,
+    find_monitor_node,
+    promote_hex_mesh,
+)
+from cfd_with_cuda_tpu.ops.gradient import div_apply, grad_apply
+from cfd_with_cuda_tpu.ops.krylov import cg, solver_by_name
+from cfd_with_cuda_tpu.ops.spmv import convection_apply, ell_spmv
+from cfd_with_cuda_tpu.utils.config import SolverConfig
+
+__all__ = ["ExplicitState", "StepStats", "ExplicitBCHSolver"]
+
+
+class ExplicitState(NamedTuple):
+    """Device-resident solution state (a pytree).
+
+    ``unp1_prev`` persists across time steps because the reference only
+    resets ``UnpHalf_prev``/``Acc_prev`` at the top of each step
+    (``timeLoop`` :2872-2880 — the ``Unp1_prev=Un`` reset is commented
+    out), so the first sub-iteration's convergence test compares against
+    the previous step's last iterate.
+    """
+
+    un: jax.Array      # (NN, 3) velocity at time n
+    pn: jax.Array      # (NNp,)  pressure at time n
+    unp1_prev: jax.Array
+
+
+class StepStats(NamedTuple):
+    u_mon: jax.Array
+    v_mon: jax.Array
+    w_mon: jax.Array
+    p_mon: jax.Array
+    max_acc: jax.Array
+    iters: jax.Array        # nonlinear sub-iterations used
+    cg_iters: jax.Array     # pressure CG iterations (last sub-iteration)
+
+
+@dataclass
+class ExplicitBCHSolver:
+    """Setup once from a deck, then run jitted chunks of time steps."""
+
+    deck: Deck
+    config: SolverConfig
+
+    def __init__(self, deck: Deck, config: SolverConfig | None = None):
+        self.deck = deck
+        self.config = config or SolverConfig()
+        self._setup()
+
+    # ------------------------------------------------------------------ setup
+    def _setup(self) -> None:
+        deck = self.deck
+        cfg = self.config
+        dtype = cfg.jnp_dtype()
+
+        mesh = promote_hex_mesh(deck.conn, deck.coords)
+        self.mesh = mesh
+        self.nn, self.nnp = mesh.nn, deck.nnp
+        tab = build_element_tables(
+            mesh.coords, mesh.ltog_node, etype=deck.etype,
+            nenv=deck.nenv, nenp=deck.nenp, ngp=deck.ngp,
+        )
+        self.tables = tab
+
+        ops = assemble_operators(
+            tab, mesh.ltog_node, mesh.nn, self.nnp,
+            viscosity=deck.viscosity, density=deck.density, z_mode="product",
+        )
+        self.ops = ops
+
+        # BC node info
+        bc_of_node = face_bc_to_node_bc(
+            mesh.ltog_node, deck.bc_vel_faces, mesh.nn,
+            quadratic=deck.nenv != deck.nenp,
+        )
+        self.bc_of_node = bc_of_node
+        is_bc = bc_of_node >= 0
+        bc_vel = np.zeros((mesh.nn, 3))
+        bc_vel[is_bc] = deck.bc_str[bc_of_node[is_bc]]
+
+        # Lumped mass with/without BC rows (ref step0 :3281-3295)
+        md = ops.Md.copy()
+        md_orig_inv = 1.0 / md
+        md[is_bc] = 1.0
+        md_inv = 1.0 / md
+
+        # Pressure pin: LARGE * Z[pin, pin]  (ref applyBC_Step2(1))
+        Z = ops.Z.tocsr().copy()
+        pin = deck.zero_pressure_node
+        self.pin = pin
+        if pin > 0:
+            Z[pin, pin] = Z[pin, pin] * cfg.pressure_pin_large
+
+        k_ell = ell_from_csr(ops.pattern_m, values=ops.K)
+        g_ells = [ell_from_csr(ops.pattern_g, values=ops.G[d]) for d in range(3)]
+        gt_csrs = [ops.G_csr(d).T.tocsr() for d in range(3)]
+        for m in gt_csrs:
+            m.sort_indices()
+        # all three G^T blocks share the same pattern
+        gt_ells = [
+            ell_from_csr(
+                m.indptr.astype(np.int64), m.indices.astype(np.int64),
+                m.data, n_cols=mesh.nn,
+            )
+            for m in gt_csrs
+        ]
+        z_ell = ell_from_csr(
+            Z.indptr.astype(np.int64), Z.indices.astype(np.int64),
+            Z.data, n_cols=self.nnp,
+        )
+
+        dev = lambda x: jnp.asarray(x, dtype=dtype)
+        self.d = {
+            "ltog": jnp.asarray(mesh.ltog_node, dtype=jnp.int32),
+            "Sv": dev(tab.Sv),
+            "gDSv": dev(tab.gDSv),
+            "gq": dev(tab.gq_factor),
+            "K_vals": dev(k_ell.vals),
+            "K_cols": jnp.asarray(k_ell.cols),
+            "G_vals": dev(np.stack([g.vals for g in g_ells])),
+            "G_cols": jnp.asarray(g_ells[0].cols),
+            "GT_vals": dev(np.stack([g.vals for g in gt_ells])),
+            "GT_cols": jnp.asarray(gt_ells[0].cols),
+            "Z_vals": dev(z_ell.vals),
+            "Z_cols": jnp.asarray(z_ell.cols),
+            "Z_diag": dev(Z.diagonal()),
+            "md_inv": dev(md_inv),
+            "md_orig_inv": dev(md_orig_inv),
+            "bc_mask": dev(np.where(is_bc, 0.0, 1.0)),
+            "bc_vel": dev(bc_vel),
+        }
+        self.monitor_node = find_monitor_node(
+            deck.coords, deck.monitor_xyz if deck.monitor_xyz is not None else (0.5,) * 3
+        )
+        self.dt = float(deck.dt)
+        self._compiled = {}
+
+    # ----------------------------------------------------------- initial state
+    def initial_state(self) -> ExplicitState:
+        """Zero field with BC velocities imposed (``applyBC_initial``)."""
+        dtype = self.config.jnp_dtype()
+        # copy=True: run() donates the state, so it must not alias bc_vel
+        un = jnp.array(self.d["bc_vel"], dtype=dtype, copy=True)
+        pn = jnp.zeros(self.nnp, dtype=dtype)
+        return ExplicitState(un=un, pn=pn, unp1_prev=jnp.zeros_like(un))
+
+    def state_from_fields(self, u: np.ndarray, p: np.ndarray) -> ExplicitState:
+        dtype = self.config.jnp_dtype()
+        return ExplicitState(
+            un=jnp.asarray(u, dtype=dtype),
+            pn=jnp.asarray(p, dtype=dtype),
+            unp1_prev=jnp.zeros((self.nn, 3), dtype=dtype),
+        )
+
+    # ------------------------------------------------------------- one step
+    def _time_step(self, state: ExplicitState) -> tuple[ExplicitState, StepStats]:
+        d = self.d
+        cfg = self.config
+        deck = self.deck
+        dt = self.dt
+        nn = self.nn
+
+        un, pn, unp1_prev0 = state
+        zeros_u = jnp.zeros_like(un)
+
+        def k_mul(u):
+            return ell_spmv(d["K_vals"], d["K_cols"], u)
+
+        def z_mul(p):
+            return ell_spmv(d["Z_vals"], d["Z_cols"], p)
+
+        def pressure_solve(r2):
+            return cg(
+                z_mul, r2,
+                tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,
+                precond=lambda r: r / d["Z_diag"],
+            )
+
+        mask = d["bc_mask"][:, None]
+
+        def iteration(carry):
+            (it, _conv, unp_half_prev, unp1_prev, _acc_prev, pnp1_prev,
+             k_acc_prev, _unp1, _pnp1, _cgit) = carry
+
+            # ---- step1: R1 = -K u* - A(un) u* - G pn  (ref :3712-3783)
+            r1 = -k_mul(unp_half_prev)
+            r1 -= convection_apply(
+                un, unp_half_prev, d["ltog"], d["Sv"], d["gDSv"], d["gq"], nn
+            )
+            r1 -= grad_apply(d["G_vals"], d["G_cols"], pn)
+            r1 = r1 * mask
+            unp_half = un + dt * r1 * d["md_inv"][:, None]
+
+            # ---- step2: R2 = G^T (u*/dt^2 - MdOrigInv K acc_prev)  (:3813-3868)
+            dummy = unp_half / (dt * dt) - d["md_orig_inv"][:, None] * k_acc_prev
+            r2 = div_apply(d["GT_vals"], d["GT_cols"], dummy)
+            if self.pin > 0:
+                r2 = r2.at[self.pin].set(0.0)
+            sol = pressure_solve(r2)
+            pdot = sol.x
+            pnp1 = pn + dt * pdot
+
+            # ---- step3: R3 = -dt (G pdot + K acc_prev)  (:3917-3967)
+            r3 = -dt * (grad_apply(d["G_vals"], d["G_cols"], pdot) + k_acc_prev)
+            r3 = r3 * mask
+            acc = r3 * d["md_inv"][:, None]
+            unp1 = unp_half + dt * acc
+
+            # ---- convergence (ref :2936-2961)
+            norm1 = jnp.linalg.norm(unp1 - unp1_prev) / jnp.linalg.norm(unp1)
+            norm2 = jnp.linalg.norm(pnp1 - pnp1_prev) / jnp.linalg.norm(pnp1)
+            conv = (norm1 < deck.tolerance) & (norm2 < deck.tolerance)
+
+            # ---- next-iteration rotation + K*acc (skipped on break, :2963-3025)
+            keep = lambda new, old: jnp.where(conv, old, new)
+            return (
+                it + 1,
+                conv,
+                keep(unp_half, unp_half_prev),
+                keep(unp1, unp1_prev),
+                keep(acc, zeros_u),
+                keep(pnp1, pnp1_prev),
+                keep(k_mul(acc), k_acc_prev),
+                unp1,
+                pnp1,
+                sol.iters,
+            )
+
+        def cond(carry):
+            it, conv = carry[0], carry[1]
+            return (it <= deck.max_iter) & (~conv)
+
+        init = (
+            jnp.asarray(1), jnp.asarray(False),
+            un, unp1_prev0, zeros_u, pn, zeros_u,
+            un, pn, jnp.asarray(0),
+        )
+        out = lax.while_loop(cond, iteration, init)
+        (it, _conv, _uhp, unp1_prev, _acc, _pprev, _kacc, unp1, pnp1, cgit) = out
+
+        max_acc = jnp.max(jnp.abs(unp1 - un)) / dt
+        mon = self.monitor_node
+        stats = StepStats(
+            u_mon=unp1[mon, 0], v_mon=unp1[mon, 1], w_mon=unp1[mon, 2],
+            p_mon=pnp1[mon], max_acc=max_acc, iters=it - 1, cg_iters=cgit,
+        )
+        new_state = ExplicitState(un=unp1, pn=pnp1, unp1_prev=unp1_prev)
+        return new_state, stats
+
+    # ------------------------------------------------------------ chunked run
+    def _chunk_fn(self, n_steps: int):
+        """n_steps fused time steps; stops stepping once steady (carries a
+        done flag so semantics match the reference's per-step break)."""
+        conv_crit = self.deck.convergence_criteria
+
+        def body(carry, _):
+            state, done = carry
+
+            def do_step(s):
+                return self._time_step(s)
+
+            def skip(s):
+                zero = jnp.zeros((), self.config.jnp_dtype())
+                return s, StepStats(
+                    s.un[self.monitor_node, 0], s.un[self.monitor_node, 1],
+                    s.un[self.monitor_node, 2], s.pn[self.monitor_node],
+                    zero, jnp.asarray(0), jnp.asarray(0),
+                )
+
+            state2, stats = lax.cond(done, skip, do_step, state)
+            done2 = done | (stats.max_acc <= conv_crit)
+            return (state2, done2), stats
+
+        def chunk(state):
+            (state, done), stats = lax.scan(
+                body, (state, jnp.asarray(False)), None, length=n_steps
+            )
+            return state, done, stats
+
+        return chunk
+
+    def compiled_chunk(self, n_steps: int):
+        if n_steps not in self._compiled:
+            self._compiled[n_steps] = jax.jit(
+                self._chunk_fn(n_steps), donate_argnums=0
+            )
+        return self._compiled[n_steps]
+
+    def run(
+        self,
+        state: ExplicitState | None = None,
+        *,
+        n_steps: int | None = None,
+        collect_history: bool = True,
+    ):
+        """Run until t_final or steady state.  Returns (state, history dict).
+
+        The python loop dispatches one fused chunk at a time and only pulls
+        back the per-step monitor scalars, mirroring the reference monitor
+        table (:3091-3093) without its full-field D2H copies.
+        """
+        deck = self.deck
+        state = state or self.initial_state()
+        total = n_steps if n_steps is not None else int(
+            round((deck.t_final - deck.t_ini) / deck.dt)
+        )
+        chunk_len = max(1, min(self.config.steps_per_chunk, total))
+        step_fn = self.compiled_chunk(chunk_len)
+
+        history = []
+        done_steps = 0
+        t = deck.t_ini
+        while done_steps < total:
+            state, done, stats = step_fn(state)
+            stats = jax.tree.map(np.asarray, stats)
+            n_real = int(np.sum(np.asarray(stats.iters) > 0))
+            for k in range(chunk_len):
+                if done_steps + k >= total:
+                    break
+                if stats.iters[k] == 0 and k > 0:
+                    break
+                t += deck.dt
+                row = {f: float(getattr(stats, f)[k]) for f in StepStats._fields}
+                row["time"] = t
+                row["step"] = done_steps + k + 1
+                history.append(row)
+                if self.config.verbose:
+                    print(
+                        f"{row['step']:6d} {int(row['iters']):4d} {t:10.5f}"
+                        f" {row['u_mon']:13.5f} {row['v_mon']:13.5f}"
+                        f" {row['w_mon']:13.5f} {row['p_mon']:13.5f}"
+                        f" {row['max_acc']:12.5f}"
+                    )
+            done_steps += chunk_len
+            if bool(done):  # steady state reached inside this chunk
+                break
+
+        if not collect_history:
+            history = history[-1:]
+        return state, history
+
+    # ------------------------------------------------------------------- io
+    def fields(self, state: ExplicitState) -> tuple[np.ndarray, np.ndarray]:
+        """(u (NN,3), p (NNp,)) as numpy."""
+        return np.asarray(state.un), np.asarray(state.pn)

@@ -8,7 +8,9 @@ is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU (the environment presets JAX_PLATFORMS=axon for the real TPU;
+# tests must run on the virtual 8-device CPU mesh instead).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,80 @@
+"""Explicit BCH solver: parity vs the numpy oracle, physics sanity,
+steady-state detection — the rebuild's replacement for the reference's
+MATLAB-oracle cross-checking methodology (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from cfd_with_cuda_tpu.mesh.generators import cavity_deck
+from cfd_with_cuda_tpu.oracle.explicit_oracle import ExplicitOracle
+from cfd_with_cuda_tpu.solvers.explicit_bch import ExplicitBCHSolver
+from cfd_with_cuda_tpu.utils.config import SolverConfig
+
+
+@pytest.fixture(scope="module")
+def small_setup():
+    deck = cavity_deck(3, viscosity=0.1, dt=0.005, t_final=1.0)
+    solver = ExplicitBCHSolver(deck, SolverConfig(steps_per_chunk=5))
+    oracle = ExplicitOracle(deck)
+    return deck, solver, oracle
+
+
+def test_parity_with_oracle(small_setup):
+    """Jitted whole-step path == independent numpy implementation, to
+    machine precision, across nonlinear sub-iterations and CG solves."""
+    deck, solver, oracle = small_setup
+    state, hist = solver.run(n_steps=10)
+    u_j, p_j = solver.fields(state)
+    u_o, p_o, oh = oracle.run(10)
+    np.testing.assert_allclose(u_j, u_o, atol=1e-12)
+    np.testing.assert_allclose(p_j, p_o, atol=1e-11)
+    # sub-iteration counts match step by step
+    assert [int(h["iters"]) for h in hist] == [it for _, it in oh]
+
+
+def test_monitor_and_bcs(small_setup):
+    deck, solver, _ = small_setup
+    state, hist = solver.run(n_steps=5)
+    u, p = solver.fields(state)
+    # lid nodes keep the lid velocity exactly; wall nodes stay zero
+    coords = solver.mesh.coords
+    lid = np.isclose(coords[:, 2], 1.0) & (coords[:, 0] > 0.01) & (
+        coords[:, 0] < 0.99
+    ) & (coords[:, 1] > 0.01) & (coords[:, 1] < 0.99)
+    np.testing.assert_allclose(u[lid, 0], 1.0, atol=1e-14)
+    wall = np.isclose(coords[:, 2], 0.0)
+    np.testing.assert_allclose(u[wall], 0.0, atol=1e-14)
+    # monitor history well-formed
+    assert len(hist) == 5
+    assert all(np.isfinite(h["max_acc"]) for h in hist)
+    assert all(1 <= h["iters"] <= deck.max_iter for h in hist)
+
+
+def test_steady_state_detection():
+    """High viscosity -> rapid decay to steady; run() stops early with the
+    reference's max|du|/dt criterion."""
+    deck = cavity_deck(2, viscosity=1.0, dt=0.01, t_final=10.0, convergence=1e-3)
+    solver = ExplicitBCHSolver(deck, SolverConfig(steps_per_chunk=10))
+    state, hist = solver.run()
+    assert hist[-1]["max_acc"] <= 1e-3
+    # stopped well before t_final/dt = 1000 steps
+    assert hist[-1]["step"] < 500
+
+
+def test_incompressibility_trend(small_setup):
+    """Discrete divergence G^T u shrinks as the projection acts."""
+    deck, solver, oracle = small_setup
+    state, _ = solver.run(n_steps=20)
+    u, p = solver.fields(state)
+    div = sum(oracle.Gt[d] @ u[:, d] for d in range(3))
+    # interior divergence small compared to the velocity scale
+    assert np.abs(div).max() < 0.05
+
+
+def test_pressure_pin(small_setup):
+    deck, solver, _ = small_setup
+    assert deck.zero_pressure_node > 0
+    state, _ = solver.run(n_steps=10)
+    _, p = solver.fields(state)
+    # pinned node pressure driven toward zero by the LARGE trick
+    assert abs(p[deck.zero_pressure_node]) < 0.05 * np.abs(p).max()
