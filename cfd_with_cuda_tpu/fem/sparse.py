@@ -108,25 +108,32 @@ def ell_pad_width(indptr: np.ndarray, multiple: int = 8) -> int:
 
 @dataclass(frozen=True)
 class EllMatrix:
-    """Padded ELL sparse matrix: cols/vals (n_rows, L); padding slots have
-    col 0 and value 0 so gathers stay in-bounds and contribute nothing."""
+    """Padded *slot-major* ELL sparse matrix: cols/vals shaped (L, n_rows).
+
+    TPU HBM tiling pads the minor-most dimension to 128 lanes, so the large
+    ``n_rows`` axis must be minor (a row-major (n_rows, L) layout with
+    L < 128 wastes up to 4-40x HBM and gather bandwidth).  This is the
+    lane-major analogue of the GPU's coalesced "ELLPACK-T" layout.
+    Padding slots have col 0 and value 0, so gathers stay in-bounds and
+    contribute nothing.
+    """
 
     n_rows: int
     n_cols: int
-    cols: np.ndarray
-    vals: np.ndarray
-    # map from CSR nnz slot -> flat ELL slot, for refreshing values in place
+    cols: np.ndarray          # (L, n_rows) int32
+    vals: np.ndarray          # (L, n_rows)
+    # map from CSR nnz slot -> flat (L, n_rows) ELL slot, for value refresh
     csr_to_ell: np.ndarray
 
     @property
     def pad(self) -> int:
-        return self.cols.shape[1]
+        return self.cols.shape[0]
 
     def with_values(self, csr_values: np.ndarray) -> np.ndarray:
-        """Produce a new ELL value array from CSR-ordered values (host)."""
-        out = np.zeros(self.n_rows * self.pad, dtype=csr_values.dtype)
+        """Produce a new (L, n_rows) ELL value array from CSR values."""
+        out = np.zeros(self.pad * self.n_rows, dtype=csr_values.dtype)
         out[self.csr_to_ell] = csr_values
-        return out.reshape(self.n_rows, self.pad)
+        return out.reshape(self.pad, self.n_rows)
 
 
 def ell_from_csr(
@@ -137,7 +144,7 @@ def ell_from_csr(
     n_cols: int | None = None,
     pad_multiple: int = 8,
 ) -> EllMatrix:
-    """Convert a CSR pattern (+ optional values) to padded ELL layout."""
+    """Convert a CSR pattern (+ optional values) to slot-major ELL."""
     if isinstance(pattern_or_indptr, CsrPattern):
         pat = pattern_or_indptr
         indptr, indices, n_cols = pat.indptr, pat.indices, pat.n_cols
@@ -150,16 +157,16 @@ def ell_from_csr(
     row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), row_len)
     # position of each nnz within its row
     within = np.arange(indices.size, dtype=np.int64) - np.repeat(indptr[:-1], row_len)
-    flat = row_ids * L + within
-    cols = np.zeros(n_rows * L, dtype=np.int32)
+    flat = within * n_rows + row_ids          # slot-major (L, n_rows) flat index
+    cols = np.zeros(L * n_rows, dtype=np.int32)
     cols[flat] = indices.astype(np.int32)
-    vals = np.zeros(n_rows * L, dtype=np.float64)
+    vals = np.zeros(L * n_rows, dtype=np.float64)
     if values is not None:
         vals[flat] = values
     return EllMatrix(
         n_rows=n_rows,
         n_cols=int(n_cols),
-        cols=cols.reshape(n_rows, L),
-        vals=vals.reshape(n_rows, L),
+        cols=cols.reshape(L, n_rows),
+        vals=vals.reshape(L, n_rows),
         csr_to_ell=flat,
     )

@@ -6,10 +6,11 @@ cg/cr/bicg/bicgstab/gmres, Paralution BiCGStab, CULA — SURVEY.md §2.4)
 with fused SpMV/dot/axpy bodies that never leave the device.
 
 All methods accept a ``matvec`` callable and right-hand sides shaped
-``(N,)`` or ``(N, C)`` — inner products reduce over axis 0 only, so C
-independent systems (e.g. the 3 momentum directions that the reference
-solves sequentially, ``guermondQuartapelle.cpp:3972-4033``) share
-iterations and converge when the *worst* column converges.
+``(N,)`` or ``(C, N)`` (batch axis leading, per the framework's TPU
+lane-major layout convention) — inner products reduce over the minor axis
+only, so C independent systems (e.g. the 3 momentum directions that the
+reference solves sequentially, ``guermondQuartapelle.cpp:3972-4033``)
+share iterations and converge when the *worst* system converges.
 
 Default tolerances mirror the reference exactly:
 * CG (pressure): rel 1e-12, maxit 1000, Jacobi (``blascoCodinaHuerta.cpp
@@ -37,20 +38,34 @@ class KrylovResult(NamedTuple):
 
 
 def _dot(a, b):
-    return jnp.sum(a * b, axis=0)
+    """Per-system inner product over the minor axis, keepdims so the
+    resulting Krylov scalars broadcast against (C, N) iterates."""
+    return jnp.sum(a * b, axis=-1, keepdims=True)
 
 
 def _norm(a):
-    return jnp.sqrt(jnp.sum(a * a, axis=0))
+    return jnp.sqrt(_dot(a, a))
 
 
 def _max(a):
-    """Max over batched columns (no-op for single systems)."""
-    return jnp.max(a) if a.ndim else a
+    """Max over batched systems (scalar)."""
+    return jnp.max(a)
 
 
 def _identity_precond(r):
     return r
+
+
+def _safe_div(a, b):
+    """a / b with 0 where b == 0.
+
+    Batched right-hand sides can contain all-zero columns (e.g. the v/w
+    momentum RHS on the first symmetric cavity step); their Krylov scalars
+    are 0/0 and the column must simply stay at x = 0 instead of NaN-ing
+    the whole batch.  Also freezes a column on true breakdown (rho -> 0).
+    """
+    zero = b == 0.0
+    return jnp.where(zero, 0.0, a / jnp.where(zero, 1.0, b))
 
 
 def _tol_bound(b, tol, atol):
@@ -83,12 +98,12 @@ def cg(
     def body(state):
         x, r, z, p, rz, k = state
         Ap = matvec(p)
-        alpha = rz / _dot(p, Ap)
+        alpha = _safe_div(rz, _dot(p, Ap))
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
         rz_new = _dot(r, z)
-        beta = rz_new / rz
+        beta = _safe_div(rz_new, rz)
         p = z + beta * p
         return x, r, z, p, rz_new, k + 1
 
@@ -124,13 +139,13 @@ def cr(
     def body(state):
         x, r, z, p, Ap, rAz, k = state
         MAp = M(Ap)
-        alpha = rAz / _dot(Ap, MAp)
+        alpha = _safe_div(rAz, _dot(Ap, MAp))
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
         Az = matvec(z)
         rAz_new = _dot(r, Az)
-        beta = rAz_new / rAz
+        beta = _safe_div(rAz_new, rAz)
         p = z + beta * p
         Ap = Az + beta * Ap
         return x, r, z, p, Ap, rAz_new, k + 1
@@ -173,14 +188,14 @@ def bicg(
         x, r, rt, p, pt, rz, k = state
         Ap = matvec(p)
         Atpt = At(pt)
-        alpha = rz / _dot(pt, Ap)
+        alpha = _safe_div(rz, _dot(pt, Ap))
         x = x + alpha * p
         r = r - alpha * Ap
         rt = rt - alpha * Atpt
         z = M(r)
         zt = M(rt)
         rz_new = _dot(rt, z)
-        beta = rz_new / rz
+        beta = _safe_div(rz_new, rz)
         p = z + beta * p
         pt = zt + beta * pt
         return x, r, rt, p, pt, rz_new, k + 1
@@ -217,16 +232,16 @@ def bicgstab(
         x, r, p, rho, k = state
         phat = M(p)
         v = matvec(phat)
-        alpha = rho / _dot(rhat, v)
+        alpha = _safe_div(rho, _dot(rhat, v))
         s = r - alpha * v
         shat = M(s)
         t = matvec(shat)
         tt = _dot(t, t)
-        omega = _dot(t, s) / jnp.where(tt == 0.0, 1.0, tt)
+        omega = _safe_div(_dot(t, s), tt)
         x = x + alpha * phat + omega * shat
         r = s - omega * t
         rho_new = _dot(rhat, r)
-        beta = (rho_new / rho) * (alpha / omega)
+        beta = _safe_div(rho_new, rho) * _safe_div(alpha, omega)
         p = r + beta * (p - omega * v)
         return x, r, p, rho_new, k + 1
 
@@ -312,7 +327,7 @@ def gmres(
         )
 
     x0_cols = jnp.zeros_like(b) if x0 is None else x0
-    res = jax.vmap(solve_col, in_axes=(1, 1), out_axes=(1, 0, 0))(b, x0_cols)
+    res = jax.vmap(solve_col, in_axes=(0, 0), out_axes=(0, 0, 0))(b, x0_cols)
     return KrylovResult(res.x, jnp.max(res.iters), jnp.max(res.residual))
 
 

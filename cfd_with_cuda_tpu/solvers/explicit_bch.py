@@ -46,8 +46,9 @@ from cfd_with_cuda_tpu.mesh.topology import (
     promote_hex_mesh,
 )
 from cfd_with_cuda_tpu.ops.gradient import div_apply, grad_apply
-from cfd_with_cuda_tpu.ops.krylov import cg, solver_by_name
+from cfd_with_cuda_tpu.ops.krylov import cg
 from cfd_with_cuda_tpu.ops.spmv import convection_apply, ell_spmv
+from cfd_with_cuda_tpu.solvers.base import ChunkedTimeLoop, StepStats
 from cfd_with_cuda_tpu.utils.config import SolverConfig
 
 __all__ = ["ExplicitState", "StepStats", "ExplicitBCHSolver"]
@@ -63,23 +64,13 @@ class ExplicitState(NamedTuple):
     the previous step's last iterate.
     """
 
-    un: jax.Array      # (NN, 3) velocity at time n
+    un: jax.Array      # (3, NN) velocity at time n (lane-major layout)
     pn: jax.Array      # (NNp,)  pressure at time n
     unp1_prev: jax.Array
 
 
-class StepStats(NamedTuple):
-    u_mon: jax.Array
-    v_mon: jax.Array
-    w_mon: jax.Array
-    p_mon: jax.Array
-    max_acc: jax.Array
-    iters: jax.Array        # nonlinear sub-iterations used
-    cg_iters: jax.Array     # pressure CG iterations (last sub-iteration)
-
-
 @dataclass
-class ExplicitBCHSolver:
+class ExplicitBCHSolver(ChunkedTimeLoop):
     """Setup once from a deck, then run jitted chunks of time steps."""
 
     deck: Deck
@@ -152,12 +143,15 @@ class ExplicitBCHSolver:
             Z.data, n_cols=self.nnp,
         )
 
+        # Device layouts: lane-major (big node/element axis minor-most) —
+        # see ops/spmv.py.  Fields are (3, NN); element tables NE-minor;
+        # ELL operators slot-major (L, N).
         dev = lambda x: jnp.asarray(x, dtype=dtype)
         self.d = {
-            "ltog": jnp.asarray(mesh.ltog_node, dtype=jnp.int32),
+            "ltog": jnp.asarray(mesh.ltog_node.T, dtype=jnp.int32),
             "Sv": dev(tab.Sv),
-            "gDSv": dev(tab.gDSv),
-            "gq": dev(tab.gq_factor),
+            "gDSv": dev(np.transpose(tab.gDSv, (3, 2, 1, 0))),
+            "gq": dev(tab.gq_factor.T),
             "K_vals": dev(k_ell.vals),
             "K_cols": jnp.asarray(k_ell.cols),
             "G_vals": dev(np.stack([g.vals for g in g_ells])),
@@ -170,7 +164,7 @@ class ExplicitBCHSolver:
             "md_inv": dev(md_inv),
             "md_orig_inv": dev(md_orig_inv),
             "bc_mask": dev(np.where(is_bc, 0.0, 1.0)),
-            "bc_vel": dev(bc_vel),
+            "bc_vel": dev(bc_vel.T),
         }
         self.monitor_node = find_monitor_node(
             deck.coords, deck.monitor_xyz if deck.monitor_xyz is not None else (0.5,) * 3
@@ -188,16 +182,17 @@ class ExplicitBCHSolver:
         return ExplicitState(un=un, pn=pn, unp1_prev=jnp.zeros_like(un))
 
     def state_from_fields(self, u: np.ndarray, p: np.ndarray) -> ExplicitState:
+        """u is accepted as (NN, 3) (host convention) and stored (3, NN)."""
         dtype = self.config.jnp_dtype()
         return ExplicitState(
-            un=jnp.asarray(u, dtype=dtype),
+            un=jnp.asarray(np.asarray(u).T, dtype=dtype),
             pn=jnp.asarray(p, dtype=dtype),
-            unp1_prev=jnp.zeros((self.nn, 3), dtype=dtype),
+            unp1_prev=jnp.zeros((3, self.nn), dtype=dtype),
         )
 
     # ------------------------------------------------------------- one step
-    def _time_step(self, state: ExplicitState) -> tuple[ExplicitState, StepStats]:
-        d = self.d
+    def _time_step(self, params, state: ExplicitState) -> tuple[ExplicitState, StepStats]:
+        d = params
         cfg = self.config
         deck = self.deck
         dt = self.dt
@@ -219,7 +214,7 @@ class ExplicitBCHSolver:
                 precond=lambda r: r / d["Z_diag"],
             )
 
-        mask = d["bc_mask"][:, None]
+        mask = d["bc_mask"][None, :]
 
         def iteration(carry):
             (it, _conv, unp_half_prev, unp1_prev, _acc_prev, pnp1_prev,
@@ -232,10 +227,10 @@ class ExplicitBCHSolver:
             )
             r1 -= grad_apply(d["G_vals"], d["G_cols"], pn)
             r1 = r1 * mask
-            unp_half = un + dt * r1 * d["md_inv"][:, None]
+            unp_half = un + dt * r1 * d["md_inv"][None, :]
 
             # ---- step2: R2 = G^T (u*/dt^2 - MdOrigInv K acc_prev)  (:3813-3868)
-            dummy = unp_half / (dt * dt) - d["md_orig_inv"][:, None] * k_acc_prev
+            dummy = unp_half / (dt * dt) - d["md_orig_inv"][None, :] * k_acc_prev
             r2 = div_apply(d["GT_vals"], d["GT_cols"], dummy)
             if self.pin > 0:
                 r2 = r2.at[self.pin].set(0.0)
@@ -246,7 +241,7 @@ class ExplicitBCHSolver:
             # ---- step3: R3 = -dt (G pdot + K acc_prev)  (:3917-3967)
             r3 = -dt * (grad_apply(d["G_vals"], d["G_cols"], pdot) + k_acc_prev)
             r3 = r3 * mask
-            acc = r3 * d["md_inv"][:, None]
+            acc = r3 * d["md_inv"][None, :]
             unp1 = unp_half + dt * acc
 
             # ---- convergence (ref :2936-2961)
@@ -284,105 +279,38 @@ class ExplicitBCHSolver:
         max_acc = jnp.max(jnp.abs(unp1 - un)) / dt
         mon = self.monitor_node
         stats = StepStats(
-            u_mon=unp1[mon, 0], v_mon=unp1[mon, 1], w_mon=unp1[mon, 2],
+            u_mon=unp1[0, mon], v_mon=unp1[1, mon], w_mon=unp1[2, mon],
             p_mon=pnp1[mon], max_acc=max_acc, iters=it - 1, cg_iters=cgit,
+            mom_iters=jnp.asarray(0),
         )
         new_state = ExplicitState(un=unp1, pn=pnp1, unp1_prev=unp1_prev)
         return new_state, stats
 
-    # ------------------------------------------------------------ chunked run
-    def _chunk_fn(self, n_steps: int):
-        """n_steps fused time steps; stops stepping once steady (carries a
-        done flag so semantics match the reference's per-step break)."""
-        conv_crit = self.deck.convergence_criteria
-
-        def body(carry, _):
-            state, done = carry
-
-            def do_step(s):
-                return self._time_step(s)
-
-            def skip(s):
-                zero = jnp.zeros((), self.config.jnp_dtype())
-                return s, StepStats(
-                    s.un[self.monitor_node, 0], s.un[self.monitor_node, 1],
-                    s.un[self.monitor_node, 2], s.pn[self.monitor_node],
-                    zero, jnp.asarray(0), jnp.asarray(0),
-                )
-
-            state2, stats = lax.cond(done, skip, do_step, state)
-            done2 = done | (stats.max_acc <= conv_crit)
-            return (state2, done2), stats
-
-        def chunk(state):
-            (state, done), stats = lax.scan(
-                body, (state, jnp.asarray(False)), None, length=n_steps
-            )
-            return state, done, stats
-
-        return chunk
-
-    def compiled_chunk(self, n_steps: int):
-        if n_steps not in self._compiled:
-            self._compiled[n_steps] = jax.jit(
-                self._chunk_fn(n_steps), donate_argnums=0
-            )
-        return self._compiled[n_steps]
-
-    def run(
-        self,
-        state: ExplicitState | None = None,
-        *,
-        n_steps: int | None = None,
-        collect_history: bool = True,
-    ):
-        """Run until t_final or steady state.  Returns (state, history dict).
-
-        The python loop dispatches one fused chunk at a time and only pulls
-        back the per-step monitor scalars, mirroring the reference monitor
-        table (:3091-3093) without its full-field D2H copies.
-        """
-        deck = self.deck
-        state = state or self.initial_state()
-        total = n_steps if n_steps is not None else int(
-            round((deck.t_final - deck.t_ini) / deck.dt)
+    def _monitor_only(self, state: ExplicitState) -> StepStats:
+        mon = self.monitor_node
+        zero = jnp.zeros((), self.config.jnp_dtype())
+        return StepStats(
+            state.un[0, mon], state.un[1, mon], state.un[2, mon],
+            state.pn[mon], zero, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0),
         )
-        chunk_len = max(1, min(self.config.steps_per_chunk, total))
-        step_fn = self.compiled_chunk(chunk_len)
-
-        history = []
-        done_steps = 0
-        t = deck.t_ini
-        while done_steps < total:
-            state, done, stats = step_fn(state)
-            stats = jax.tree.map(np.asarray, stats)
-            n_real = int(np.sum(np.asarray(stats.iters) > 0))
-            for k in range(chunk_len):
-                if done_steps + k >= total:
-                    break
-                if stats.iters[k] == 0 and k > 0:
-                    break
-                t += deck.dt
-                row = {f: float(getattr(stats, f)[k]) for f in StepStats._fields}
-                row["time"] = t
-                row["step"] = done_steps + k + 1
-                history.append(row)
-                if self.config.verbose:
-                    print(
-                        f"{row['step']:6d} {int(row['iters']):4d} {t:10.5f}"
-                        f" {row['u_mon']:13.5f} {row['v_mon']:13.5f}"
-                        f" {row['w_mon']:13.5f} {row['p_mon']:13.5f}"
-                        f" {row['max_acc']:12.5f}"
-                    )
-            done_steps += chunk_len
-            if bool(done):  # steady state reached inside this chunk
-                break
-
-        if not collect_history:
-            history = history[-1:]
-        return state, history
 
     # ------------------------------------------------------------------- io
     def fields(self, state: ExplicitState) -> tuple[np.ndarray, np.ndarray]:
-        """(u (NN,3), p (NNp,)) as numpy."""
-        return np.asarray(state.un), np.asarray(state.pn)
+        """(u (NN,3), p (NNp,)) as numpy (host convention)."""
+        return np.asarray(state.un).T, np.asarray(state.pn)
+
+    def write_tecplot(self, state: ExplicitState, path) -> None:
+        """FEBRICK `.dat` dump (ref ``createTecplot`` :4249-4482)."""
+        from cfd_with_cuda_tpu.io.tecplot import write_tecplot
+
+        u, p = self.fields(state)
+        write_tecplot(
+            path, self.deck.title, self.mesh.coords, self.mesh.ltog_node, u, p
+        )
+
+    def state_from_restart(self, path) -> ExplicitState:
+        """Initial condition from a prior `.dat` (ref ``readRestartFile``)."""
+        from cfd_with_cuda_tpu.io.tecplot import read_restart
+
+        u, p = read_restart(path, self.nn, self.nnp)
+        return self.state_from_fields(u, p)

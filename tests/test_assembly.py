@@ -88,9 +88,10 @@ def test_ell_roundtrip(small_mesh):
     vals = pat.assemble(elemental_mass(tab))
     ell = ell_from_csr(pat, values=vals)
     assert ell.pad % 8 == 0
+    assert ell.vals.shape == (ell.pad, mesh.nn)   # slot-major (L, N)
     # dense reconstruction from ELL equals CSR dense
     dense = np.zeros((mesh.nn, mesh.nn))
-    np.add.at(dense, (np.repeat(np.arange(mesh.nn), ell.pad), ell.cols.ravel()),
+    np.add.at(dense, (np.tile(np.arange(mesh.nn), ell.pad), ell.cols.ravel()),
               ell.vals.ravel())
     np.testing.assert_allclose(dense, pat.to_scipy(vals).toarray(), atol=1e-13)
     # with_values refresh matches
@@ -113,10 +114,10 @@ def test_ell_spmv_matches_scipy(small_mesh):
     x = rng.standard_normal(mesh.nn)
     y = ell_spmv(jnp.asarray(ell.vals), jnp.asarray(ell.cols), jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(y), K @ x, atol=1e-12)
-    # batched 3-component SpMV
-    X = rng.standard_normal((mesh.nn, 3))
+    # batched 3-component SpMV (components leading, lane-major)
+    X = rng.standard_normal((3, mesh.nn))
     Y = ell_spmv(jnp.asarray(ell.vals), jnp.asarray(ell.cols), jnp.asarray(X))
-    np.testing.assert_allclose(np.asarray(Y), K @ X, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Y), (K @ X.T).T, atol=1e-12)
 
 
 def test_convection_matrix_free_matches_oracle(small_mesh):
@@ -130,19 +131,20 @@ def test_convection_matrix_free_matches_oracle(small_mesh):
     uprev = rng.standard_normal((mesh.nn, 3))
     A_dense = oracle.dense_convection(tab, mesh.ltog_node, mesh.nn, u0)
 
+    gDSv_dev = jnp.asarray(np.transpose(tab.gDSv, (3, 2, 1, 0)))
     out = convection_apply(
-        jnp.asarray(u0), jnp.asarray(uprev), jnp.asarray(mesh.ltog_node),
-        jnp.asarray(tab.Sv), jnp.asarray(tab.gDSv), jnp.asarray(tab.gq_factor),
+        jnp.asarray(u0.T), jnp.asarray(uprev.T), jnp.asarray(mesh.ltog_node.T),
+        jnp.asarray(tab.Sv), gDSv_dev, jnp.asarray(tab.gq_factor.T),
         mesh.nn,
     )
-    np.testing.assert_allclose(np.asarray(out), A_dense @ uprev, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(out).T, A_dense @ uprev, atol=1e-11)
 
     # assembled CSR values variant (implicit solver LHS)
     pat = build_csr_pattern(mesh.ltog_node, mesh.ltog_node, mesh.nn, mesh.nn)
     vals = convection_assemble_csr(
-        jnp.asarray(u0), jnp.asarray(mesh.ltog_node),
-        jnp.asarray(tab.Sv), jnp.asarray(tab.gDSv), jnp.asarray(tab.gq_factor),
-        jnp.asarray(pat.scatter), pat.nnz,
+        jnp.asarray(u0.T), jnp.asarray(mesh.ltog_node.T),
+        jnp.asarray(tab.Sv), gDSv_dev, jnp.asarray(tab.gq_factor.T),
+        jnp.asarray(np.transpose(pat.scatter, (1, 2, 0))), pat.nnz,
     )
     np.testing.assert_allclose(
         pat.to_scipy(np.asarray(vals)).toarray(), A_dense, atol=1e-11

@@ -64,12 +64,33 @@ def test_bicg_with_rmatvec(rng):
 
 
 def test_batched_columns(rng):
-    """(N, 3) right-hand sides solve the 3 systems in shared iterations."""
+    """(3, N) right-hand sides solve the 3 systems in shared iterations
+    (batch axis leading, lane-major convention)."""
     n = 40
     A = _spd(n, rng)
-    B = rng.standard_normal((n, 3))
-    res = krylov.cg(lambda x: jnp.asarray(A) @ x, jnp.asarray(B), tol=1e-12, maxiter=500)
-    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, B), atol=1e-8)
+    B = rng.standard_normal((3, n))
+    res = krylov.cg(
+        lambda x: (jnp.asarray(A) @ x.T).T, jnp.asarray(B), tol=1e-12, maxiter=500
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.linalg.solve(A, B.T).T, atol=1e-8
+    )
+
+
+def test_batched_zero_column_stays_zero(rng):
+    """An all-zero system in the batch must stay exactly zero (regression
+    for the 0/0 breakdown on the first symmetric cavity step)."""
+    n = 30
+    A = _spd(n, rng)
+    B = np.zeros((3, n))
+    B[0] = rng.standard_normal(n)
+    res = krylov.bicgstab(
+        lambda x: (jnp.asarray(A) @ x.T).T, jnp.asarray(B), tol=1e-10, maxiter=500
+    )
+    x = np.asarray(res.x)
+    assert np.isfinite(x).all()
+    np.testing.assert_allclose(x[1:], 0.0, atol=0)
+    np.testing.assert_allclose(x[0], np.linalg.solve(A, B[0]), atol=1e-6)
 
 
 def test_jacobi_preconditioner_reduces_iterations(rng):
