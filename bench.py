@@ -1,0 +1,107 @@
+"""Benchmark: wall-clock per time step, 3D lid-driven cavity NE27000.
+
+Runs the flagship explicit BCH solver on the reference's canonical deck
+(``inputFiles/lidDrivenCavity/lidDrivenCavity_NE27000.inp`` — NE=27000,
+NENv=27/NENp=8, dt=1e-3, Re=100, maxIter=4, the BASELINE.json primary
+config) on whatever jax backend is available (TPU under axon).
+
+Baseline: the repo publishes no numbers and the CUDA reference cannot run
+here (BASELINE.md), so ``vs_baseline`` is measured against this host's
+numpy/scipy oracle of the same algorithm at the same tolerances — the
+reference's own CPU-library path (MKL/CSparse) played that role.
+
+Prints exactly one JSON line:
+``{"metric": ..., "value": N, "unit": "ms/step", "vs_baseline": N}``.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+REF_DECK = "/root/reference/inputFiles/lidDrivenCavity/lidDrivenCavity_NE27000.inp"
+
+N_MEASURE = 30
+N_WARM = 5
+ORACLE_STEPS = 2
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import numpy as np
+
+    from cfd_with_cuda_tpu.io.deck import read_deck
+    from cfd_with_cuda_tpu.mesh.generators import cavity_deck
+    from cfd_with_cuda_tpu.solvers.explicit_bch import ExplicitBCHSolver
+    from cfd_with_cuda_tpu.utils.config import DTypePolicy, SolverConfig
+
+    if os.path.exists(REF_DECK):
+        deck = read_deck(REF_DECK)
+    else:  # fall back to an equivalent generated deck
+        deck = cavity_deck(30, cluster=2.0, viscosity=0.01, dt=0.001)
+
+    # f32 speed mode at the reference's GPU-path tolerances
+    # (CUSP CG rel 1e-6, CUDAcodes.cu:433-442).
+    cfg = SolverConfig(
+        dtype_policy=DTypePolicy.F32,
+        pressure_cg_tol=1e-6,
+        steps_per_chunk=10,
+    )
+    t0 = time.time()
+    solver = ExplicitBCHSolver(deck, cfg)
+    log(f"setup {time.time()-t0:.1f}s structured={solver.structured} NN={solver.nn}")
+
+    t0 = time.time()
+    state, hist = solver.run(n_steps=N_WARM)
+    log(f"warmup/compile {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    state, hist = solver.run(state, n_steps=N_MEASURE)
+    ms_per_step = (time.time() - t0) / N_MEASURE * 1000.0
+    h = hist[-1]
+    log(
+        f"{ms_per_step:.1f} ms/step; u_mon={h['u_mon']:+.6f} "
+        f"cg={int(h['cg_iters'])} iters={int(h['iters'])}"
+    )
+
+    # host-oracle baseline (reference-equivalent CPU path, f64)
+    vs_baseline = None
+    try:
+        from cfd_with_cuda_tpu.oracle.explicit_oracle import ExplicitOracle
+
+        t0 = time.time()
+        oracle = ExplicitOracle(deck)
+        u, p, prev = oracle.initial_state()
+        t0 = time.time()
+        for _ in range(ORACLE_STEPS):
+            u, p, prev, _, _ = oracle.time_step(u, p, prev, cg_tol=1e-6)
+        oracle_ms = (time.time() - t0) / ORACLE_STEPS * 1000.0
+        log(f"host oracle: {oracle_ms:.0f} ms/step")
+        vs_baseline = oracle_ms / ms_per_step
+    except Exception as e:  # noqa: BLE001 — bench must still emit its line
+        log(f"oracle baseline failed: {e}")
+        vs_baseline = float("nan")
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "wall-clock per time step, 3D lid-driven cavity NE27000 "
+                    "(explicit fractional step, f32, CG tol 1e-6)"
+                ),
+                "value": round(ms_per_step, 2),
+                "unit": "ms/step",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

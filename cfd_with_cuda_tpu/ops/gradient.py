@@ -27,6 +27,11 @@ def grad_apply(g_vals: jax.Array, g_cols: jax.Array, p: jax.Array) -> jax.Array:
 
 
 def div_apply(gt_vals: jax.Array, gt_cols: jax.Array, u: jax.Array) -> jax.Array:
-    """(NNp,) <- G1^T.u_x + G2^T.u_y + G3^T.u_z."""
-    gathered = u[:, gt_cols]                   # (3, L, NNp)
-    return jnp.einsum("dln,dln->n", gt_vals, gathered)
+    """(NNp,) <- G1^T.u_x + G2^T.u_y + G3^T.u_z.
+
+    Per-component 2D gathers (see ``ops.spmv.ell_spmv`` on why a batched
+    3D gather is a layout trap on TPU)."""
+    out = 0.0
+    for d in range(u.shape[0]):
+        out = out + jnp.einsum("ln,ln->n", gt_vals[d], u[d][gt_cols])
+    return out

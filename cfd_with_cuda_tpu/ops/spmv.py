@@ -39,9 +39,15 @@ def ell_spmv(vals: jax.Array, cols: jax.Array, x: jax.Array) -> jax.Array:
     the 3 velocity components).  Returns ``(N,)`` / ``(C, N)``.  The
     reference instead launches 3 sequential ``cusparseDcsrmv``
     (``CUDAcodes.cu:960-966``).
+
+    The component batch is unrolled in Python: a single batched gather
+    x[:, cols] -> (C, L, N) tempts XLA into a layout with the tiny C axis
+    minor, which lane-pads it 128/C x (observed 13.5 GB of padding at
+    NE27000).  Per-component 2D gathers keep every intermediate (L, N).
     """
-    g = x[..., cols]                   # (L, N) or (C, L, N)
-    return (vals * g).sum(axis=-2)
+    if x.ndim == 1:
+        return (vals * x[cols]).sum(axis=0)
+    return jnp.stack([(vals * x[d][cols]).sum(axis=0) for d in range(x.shape[0])])
 
 
 def scatter_nodes(elem_vals: jax.Array, ltog: jax.Array, nn: int) -> jax.Array:
@@ -59,6 +65,12 @@ def scatter_nodes(elem_vals: jax.Array, ltog: jax.Array, nn: int) -> jax.Array:
     return jax.vmap(
         lambda v: jax.ops.segment_sum(v, ids, num_segments=nn)
     )(flat)
+
+
+def _gather_components(x, idx):
+    """Per-component 2D gathers: x (3, NN), idx (NEN, NE) -> (3, NEN, NE)
+    without a 3D batched gather (layout trap, see ``ell_spmv``)."""
+    return jnp.stack([x[d][idx] for d in range(x.shape[0])])
 
 
 def _udotgrad(u0_e, Sv, gDSv):
@@ -87,8 +99,8 @@ def convection_apply(
     O(NE * NGP * NENv * 3) instead of O(NE * NGP * NENv^2).
     ``gq_factor (NGP, NE)``.
     """
-    u0_e = u0[:, ltog]                                    # (3, NENv, NE)
-    up_e = uprev[:, ltog]
+    u0_e = _gather_components(u0, ltog)                   # (3, NENv, NE)
+    up_e = _gather_components(uprev, ltog)
     udotg = _udotgrad(u0_e, Sv, gDSv)                     # (NENv, NGP, NE)
     conv_gq = jnp.einsum("jke,dje->dke", udotg, up_e)     # (3, NGP, NE)
     r1e = jnp.einsum("ki,ke,dke->die", Sv, gq_factor, conv_gq)
@@ -107,7 +119,7 @@ def convection_assemble_csr(
     """Assembled CSR values of A(u0) (the implicit solver's convection
     block): Ae[i,j] = sum_k (u0 . grad Sv_j) Sv_i |J| w, scattered through
     the precomputed elemental->NNZ map ``scatter_map (NENv_i, NENv_j, NE)``."""
-    u0_e = u0[:, ltog]
+    u0_e = _gather_components(u0, ltog)
     udotg = _udotgrad(u0_e, Sv, gDSv)                     # (NENv_j, NGP, NE)
     ae = jnp.einsum("ki,ke,jke->ije", Sv, gq_factor, udotg)
     return jax.ops.segment_sum(

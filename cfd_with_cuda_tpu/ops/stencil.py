@@ -1,0 +1,131 @@
+"""DIA / stencil device kernels for structured grids.
+
+Two gather-free SpMV forms, chosen per operator by measured TPU behaviour:
+
+* :func:`dia_spmv` — unrolled sum of rolled FMAs.  Bandwidth-optimal for
+  *large* grids (measured ~1.4 TB/s on the 61^3 fine grid) but each
+  diagonal costs a fixed ~10-20 us of op overhead, which dominates on
+  small grids.
+* :func:`patches_spmv` — one ``conv_general_dilated_patches`` extracts
+  every stencil window in a single XLA op, then a fused multiply-reduce
+  applies the spatially-varying weights.  ~3 ops total regardless of the
+  stencil size: 33x faster than rolls on the 31^3 coarse pressure grid
+  (49 us vs 1.6 ms), which makes the in-jit CG loop viable.
+
+Wrap-around (rolls) and zero-padding (patches) are both harmless because
+diagonal values are zero wherever the (row, row+offset) pair is absent
+from the sparsity pattern.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "dia_spmv",
+    "patches_spmv",
+    "coarse_to_fine",
+    "fine_to_coarse",
+    "dia_grad_apply",
+    "dia_div_apply",
+    "patches_grad_apply",
+    "patches_div_apply",
+]
+
+
+def dia_spmv(vals: jax.Array, x: jax.Array, offsets: tuple[int, ...]) -> jax.Array:
+    """y[g] = sum_o vals[o][g] * x[g + o]; x (S,) or (C, S)."""
+    acc = 0.0
+    for i, o in enumerate(offsets):
+        acc = acc + vals[i] * jnp.roll(x, -o, axis=-1)
+    return acc
+
+
+def _extract_patches(x: jax.Array, dims, radius: int) -> jax.Array:
+    """(C, W^3, S) stencil windows of x (C, S) on a (Sx,Sy,Sz) grid."""
+    sx, sy, sz = dims
+    w = 2 * radius + 1
+    c = x.shape[0]
+    x3 = x.reshape(c, 1, sz, sy, sx)
+    pat = lax.conv_general_dilated_patches(
+        x3, filter_shape=(w, w, w), window_strides=(1, 1, 1),
+        padding=[(radius, radius)] * 3,
+    )
+    return pat.reshape(c, w * w * w, sz * sy * sx)
+
+
+def patches_spmv(
+    win_vals: jax.Array, x: jax.Array, dims, radius: int
+) -> jax.Array:
+    """y = A x with A as window-ordered stencil values (W^3, S).
+
+    ``x (S,)`` or ``(C, S)``; channel k of the extracted patches holds
+    x at offset (dz, dy, dx) = unravel(k) - radius, matching
+    ``DiaOperator.window_vals()``.
+    """
+    single = x.ndim == 1
+    xb = x[None] if single else x
+    pat = _extract_patches(xb, dims, radius)           # (C, W^3, S)
+    y = jnp.einsum("ws,cws->cs", win_vals, pat)
+    return y[0] if single else y
+
+
+def coarse_to_fine(p: jax.Array, coarse_dims, fine_dims) -> jax.Array:
+    """Embed a coarse-grid field at the even fine-grid positions.
+
+    ``p (NNp,)`` in coarse lexicographic order -> ``(S,)`` fine flat field
+    via a strided 3D set (no gather).
+    """
+    cx, cy, cz = coarse_dims
+    fx, fy, fz = fine_dims
+    pf = jnp.zeros((fz, fy, fx), p.dtype)
+    pf = pf.at[::2, ::2, ::2].set(p.reshape(cz, cy, cx))
+    return pf.reshape(-1)
+
+
+def fine_to_coarse(y: jax.Array, coarse_dims, fine_dims) -> jax.Array:
+    """Extract the even fine-grid positions into coarse order (strided)."""
+    cx, cy, cz = coarse_dims
+    fx, fy, fz = fine_dims
+    return y.reshape(fz, fy, fx)[::2, ::2, ::2].reshape(-1)
+
+
+def dia_grad_apply(
+    g_vals: jax.Array, p: jax.Array, offsets, coarse_dims, fine_dims
+) -> jax.Array:
+    """(3, S) <- [G1 p, G2 p, G3 p] with G in fine-grid DIA form
+    (``g_vals (3, n_offsets, S)``)."""
+    pf = coarse_to_fine(p, coarse_dims, fine_dims)
+    return jnp.stack([dia_spmv(g_vals[d], pf, offsets) for d in range(3)])
+
+
+def dia_div_apply(
+    gt_vals: jax.Array, u: jax.Array, offsets, coarse_dims, fine_dims
+) -> jax.Array:
+    """(NNp,) <- sum_d Gd^T u_d with G^T in fine-grid DIA form (rows live
+    on the embedded coarse positions)."""
+    acc = 0.0
+    for d in range(3):
+        acc = acc + dia_spmv(gt_vals[d], u[d], offsets)
+    return fine_to_coarse(acc, coarse_dims, fine_dims)
+
+
+def patches_grad_apply(
+    g_win: jax.Array, p: jax.Array, coarse_dims, fine_dims, radius: int
+) -> jax.Array:
+    """(3, S) gradient via ONE window extraction of the embedded field
+    (``g_win (3, W^3, S)``)."""
+    pf = coarse_to_fine(p, coarse_dims, fine_dims)
+    pat = _extract_patches(pf[None], fine_dims, radius)[0]    # (W^3, S)
+    return jnp.einsum("dws,ws->ds", g_win, pat)
+
+
+def patches_div_apply(
+    gt_win: jax.Array, u: jax.Array, coarse_dims, fine_dims, radius: int
+) -> jax.Array:
+    """(NNp,) divergence via one batched window extraction of u (3, S)."""
+    pat = _extract_patches(u, fine_dims, radius)              # (3, W^3, S)
+    acc = jnp.einsum("dws,dws->s", gt_win, pat)
+    return fine_to_coarse(acc, coarse_dims, fine_dims)

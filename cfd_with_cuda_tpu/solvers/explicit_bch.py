@@ -125,52 +125,152 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         if pin > 0:
             Z[pin, pin] = Z[pin, pin] * cfg.pressure_pin_large
 
-        k_ell = ell_from_csr(ops.pattern_m, values=ops.K)
-        g_ells = [ell_from_csr(ops.pattern_g, values=ops.G[d]) for d in range(3)]
-        gt_csrs = [ops.G_csr(d).T.tocsr() for d in range(3)]
-        for m in gt_csrs:
-            m.sort_indices()
-        # all three G^T blocks share the same pattern
-        gt_ells = [
-            ell_from_csr(
-                m.indptr.astype(np.int64), m.indices.astype(np.int64),
-                m.data, n_cols=mesh.nn,
-            )
-            for m in gt_csrs
-        ]
-        z_ell = ell_from_csr(
-            Z.indptr.astype(np.int64), Z.indices.astype(np.int64),
-            Z.data, n_cols=self.nnp,
-        )
+        # ---- structured fast path: detect a box-grid topology, renumber
+        # nodes lexicographically and build gather-free DIA operators
+        # (fem/structured.py — random gathers are the TPU bottleneck).
+        self.structured = False
+        self.perm = None
+        if self.config.structured in ("auto", "force"):
+            self._try_structured(mesh, ops, Z, is_bc, bc_vel, md_inv, md_orig_inv)
+            if self.config.structured == "force" and not self.structured:
+                raise ValueError("structured mode forced but mesh is not a box grid")
 
-        # Device layouts: lane-major (big node/element axis minor-most) —
-        # see ops/spmv.py.  Fields are (3, NN); element tables NE-minor;
-        # ELL operators slot-major (L, N).
         dev = lambda x: jnp.asarray(x, dtype=dtype)
-        self.d = {
-            "ltog": jnp.asarray(mesh.ltog_node.T, dtype=jnp.int32),
-            "Sv": dev(tab.Sv),
-            "gDSv": dev(np.transpose(tab.gDSv, (3, 2, 1, 0))),
-            "gq": dev(tab.gq_factor.T),
-            "K_vals": dev(k_ell.vals),
-            "K_cols": jnp.asarray(k_ell.cols),
-            "G_vals": dev(np.stack([g.vals for g in g_ells])),
-            "G_cols": jnp.asarray(g_ells[0].cols),
-            "GT_vals": dev(np.stack([g.vals for g in gt_ells])),
-            "GT_cols": jnp.asarray(gt_ells[0].cols),
-            "Z_vals": dev(z_ell.vals),
-            "Z_cols": jnp.asarray(z_ell.cols),
-            "Z_diag": dev(Z.diagonal()),
-            "md_inv": dev(md_inv),
-            "md_orig_inv": dev(md_orig_inv),
-            "bc_mask": dev(np.where(is_bc, 0.0, 1.0)),
-            "bc_vel": dev(bc_vel.T),
-        }
-        self.monitor_node = find_monitor_node(
-            deck.coords, deck.monitor_xyz if deck.monitor_xyz is not None else (0.5,) * 3
-        )
+        if not self.structured:
+            k_ell = ell_from_csr(ops.pattern_m, values=ops.K)
+            g_ells = [ell_from_csr(ops.pattern_g, values=ops.G[d]) for d in range(3)]
+            gt_csrs = [ops.G_csr(d).T.tocsr() for d in range(3)]
+            for m in gt_csrs:
+                m.sort_indices()
+            # all three G^T blocks share the same pattern
+            gt_ells = [
+                ell_from_csr(
+                    m.indptr.astype(np.int64), m.indices.astype(np.int64),
+                    m.data, n_cols=mesh.nn,
+                )
+                for m in gt_csrs
+            ]
+            z_ell = ell_from_csr(
+                Z.indptr.astype(np.int64), Z.indices.astype(np.int64),
+                Z.data, n_cols=self.nnp,
+            )
+            # Device layouts: lane-major (big node/element axis minor-most)
+            # — see ops/spmv.py.  Fields are (3, NN); element tables
+            # NE-minor; ELL operators slot-major (L, N).
+            self.d = {
+                "ltog": jnp.asarray(mesh.ltog_node.T, dtype=jnp.int32),
+                "Sv": dev(tab.Sv),
+                "gDSv": dev(np.transpose(tab.gDSv, (3, 2, 1, 0))),
+                "gq": dev(tab.gq_factor.T),
+                "K_vals": dev(k_ell.vals),
+                "K_cols": jnp.asarray(k_ell.cols),
+                "G_vals": dev(np.stack([g.vals for g in g_ells])),
+                "G_cols": jnp.asarray(g_ells[0].cols),
+                "GT_vals": dev(np.stack([g.vals for g in gt_ells])),
+                "GT_cols": jnp.asarray(gt_ells[0].cols),
+                "Z_vals": dev(z_ell.vals),
+                "Z_cols": jnp.asarray(z_ell.cols),
+                "Z_diag": dev(Z.diagonal()),
+                "md_inv": dev(md_inv),
+                "md_orig_inv": dev(md_orig_inv),
+                "bc_mask": dev(np.where(is_bc, 0.0, 1.0)),
+                "bc_vel": dev(bc_vel.T),
+            }
+            self.monitor_node = find_monitor_node(
+                deck.coords,
+                deck.monitor_xyz if deck.monitor_xyz is not None else (0.5,) * 3,
+            )
         self.dt = float(deck.dt)
         self._compiled = {}
+
+    def _try_structured(self, mesh, ops, Z, is_bc, bc_vel, md_inv, md_orig_inv):
+        """Build the DIA operator set if the mesh is a box grid."""
+        from cfd_with_cuda_tpu.fem.structured import (
+            detect_structured_grid,
+            dia_from_csr,
+        )
+
+        deck = self.deck
+        dtype = self.config.jnp_dtype()
+        gi = detect_structured_grid(mesh.coords)
+        if gi is None:
+            return
+        gi_p = detect_structured_grid(mesh.coords[: self.nnp])
+        if gi_p is None:
+            return
+        fx, fy, fz = gi.dims
+        cx, cy, cz = gi_p.dims
+        if (fx, fy, fz) != (2 * cx - 1, 2 * cy - 1, 2 * cz - 1):
+            return
+        perm = gi.flat_of_node
+        perm_p = gi_p.flat_of_node
+        # fine flat id of each coarse node's embedded (2I, 2J, 2K) slot
+        I = perm_p % cx
+        J = (perm_p // cx) % cy
+        Kc = perm_p // (cx * cy)
+        embed = (2 * Kc * fy + 2 * J) * fx + 2 * I
+        # corner node j must sit exactly at its embedded fine position
+        if not np.array_equal(perm[: self.nnp], embed):
+            return
+        S = gi.size
+
+        K_csr = ops.pattern_m.to_scipy(ops.K)
+        k_dia = dia_from_csr(K_csr, perm, perm, gi.dims)
+        z_dia = dia_from_csr(Z, perm_p, perm_p, gi_p.dims)
+        g_dias = [dia_from_csr(ops.G_csr(d), perm, embed, gi.dims) for d in range(3)]
+        gt_dias = [
+            dia_from_csr(ops.G_csr(d).T.tocsr(), embed, perm, gi.dims)
+            for d in range(3)
+        ]
+        if any(x is None for x in [k_dia, z_dia, *g_dias, *gt_dias]):
+            return
+
+        self.structured = True
+        self.perm = perm
+        self.perm_p = perm_p
+        self.fine_dims = (fx, fy, fz)
+        self.coarse_dims = (cx, cy, cz)
+        # K: roll-based DIA (bandwidth-bound on the big fine grid);
+        # Z/G/GT: window-patches form (latency-bound small/medium applies).
+        self.k_offsets = k_dia.flat_offsets
+        self.z_radius = z_dia.radius
+        self.g_radius = max(g.radius for g in g_dias)
+        self.gt_radius = max(g.radius for g in gt_dias)
+
+        def permute_vec(v):  # node order -> grid order
+            out = np.empty_like(v)
+            out[perm] = v
+            return out
+
+        def permute_vec_p(v):
+            out = np.empty_like(v)
+            out[perm_p] = v
+            return out
+
+        dev = lambda x: jnp.asarray(x, dtype=dtype)
+        z_diag = permute_vec_p(np.asarray(Z.diagonal()))
+        self.d = {
+            "ltog": jnp.asarray(perm[mesh.ltog_node].T, dtype=jnp.int32),
+            "Sv": dev(self.tables.Sv),
+            "gDSv": dev(np.transpose(self.tables.gDSv, (3, 2, 1, 0))),
+            "gq": dev(self.tables.gq_factor.T),
+            "K_vals": dev(k_dia.vals),
+            "G_win": dev(np.stack([g.window_vals(self.g_radius) for g in g_dias])),
+            "GT_win": dev(np.stack([g.window_vals(self.gt_radius) for g in gt_dias])),
+            "Z_win": dev(z_dia.window_vals()),
+            "Z_diag": dev(z_diag),
+            "md_inv": dev(permute_vec(md_inv)),
+            "md_orig_inv": dev(permute_vec(md_orig_inv)),
+            "bc_mask": dev(permute_vec(np.where(is_bc, 0.0, 1.0))),
+            "bc_vel": dev(np.stack([permute_vec(bc_vel[:, d]) for d in range(3)])),
+        }
+        self.pin_grid = int(perm_p[self.pin]) if self.pin > 0 else -1
+        mon = find_monitor_node(
+            deck.coords,
+            deck.monitor_xyz if deck.monitor_xyz is not None else (0.5,) * 3,
+        )
+        self.monitor_node_deck = mon
+        self.monitor_node = int(perm[mon])
 
     # ----------------------------------------------------------- initial state
     def initial_state(self) -> ExplicitState:
@@ -182,10 +282,19 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         return ExplicitState(un=un, pn=pn, unp1_prev=jnp.zeros_like(un))
 
     def state_from_fields(self, u: np.ndarray, p: np.ndarray) -> ExplicitState:
-        """u is accepted as (NN, 3) (host convention) and stored (3, NN)."""
+        """u is accepted as (NN, 3) in deck node order; stored (3, NN)
+        (grid order when the structured path is active)."""
         dtype = self.config.jnp_dtype()
+        u = np.asarray(u).T.copy()
+        p = np.asarray(p).copy()
+        if self.structured:
+            ug = np.empty_like(u)
+            ug[:, self.perm] = u
+            pg = np.empty_like(p)
+            pg[self.perm_p] = p
+            u, p = ug, pg
         return ExplicitState(
-            un=jnp.asarray(np.asarray(u).T, dtype=dtype),
+            un=jnp.asarray(u, dtype=dtype),
             pn=jnp.asarray(p, dtype=dtype),
             unp1_prev=jnp.zeros((3, self.nn), dtype=dtype),
         )
@@ -201,11 +310,31 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         un, pn, unp1_prev0 = state
         zeros_u = jnp.zeros_like(un)
 
-        def k_mul(u):
-            return ell_spmv(d["K_vals"], d["K_cols"], u)
+        if self.structured:
+            from cfd_with_cuda_tpu.ops.stencil import (
+                dia_spmv,
+                patches_div_apply,
+                patches_grad_apply,
+                patches_spmv,
+            )
 
-        def z_mul(p):
-            return ell_spmv(d["Z_vals"], d["Z_cols"], p)
+            k_mul = lambda u: dia_spmv(d["K_vals"], u, self.k_offsets)
+            z_mul = lambda p: patches_spmv(
+                d["Z_win"], p, self.coarse_dims, self.z_radius
+            )
+            grad = lambda p: patches_grad_apply(
+                d["G_win"], p, self.coarse_dims, self.fine_dims, self.g_radius
+            )
+            div = lambda u: patches_div_apply(
+                d["GT_win"], u, self.coarse_dims, self.fine_dims, self.gt_radius
+            )
+            pin = self.pin_grid
+        else:
+            k_mul = lambda u: ell_spmv(d["K_vals"], d["K_cols"], u)
+            z_mul = lambda p: ell_spmv(d["Z_vals"], d["Z_cols"], p)
+            grad = lambda p: grad_apply(d["G_vals"], d["G_cols"], p)
+            div = lambda u: div_apply(d["GT_vals"], d["GT_cols"], u)
+            pin = self.pin
 
         def pressure_solve(r2):
             return cg(
@@ -225,21 +354,21 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             r1 -= convection_apply(
                 un, unp_half_prev, d["ltog"], d["Sv"], d["gDSv"], d["gq"], nn
             )
-            r1 -= grad_apply(d["G_vals"], d["G_cols"], pn)
+            r1 -= grad(pn)
             r1 = r1 * mask
             unp_half = un + dt * r1 * d["md_inv"][None, :]
 
             # ---- step2: R2 = G^T (u*/dt^2 - MdOrigInv K acc_prev)  (:3813-3868)
             dummy = unp_half / (dt * dt) - d["md_orig_inv"][None, :] * k_acc_prev
-            r2 = div_apply(d["GT_vals"], d["GT_cols"], dummy)
-            if self.pin > 0:
-                r2 = r2.at[self.pin].set(0.0)
+            r2 = div(dummy)
+            if pin > 0:
+                r2 = r2.at[pin].set(0.0)
             sol = pressure_solve(r2)
             pdot = sol.x
             pnp1 = pn + dt * pdot
 
             # ---- step3: R3 = -dt (G pdot + K acc_prev)  (:3917-3967)
-            r3 = -dt * (grad_apply(d["G_vals"], d["G_cols"], pdot) + k_acc_prev)
+            r3 = -dt * (grad(pdot) + k_acc_prev)
             r3 = r3 * mask
             acc = r3 * d["md_inv"][None, :]
             unp1 = unp_half + dt * acc
@@ -296,8 +425,13 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
 
     # ------------------------------------------------------------------- io
     def fields(self, state: ExplicitState) -> tuple[np.ndarray, np.ndarray]:
-        """(u (NN,3), p (NNp,)) as numpy (host convention)."""
-        return np.asarray(state.un).T, np.asarray(state.pn)
+        """(u (NN,3), p (NNp,)) as numpy (host convention, deck node order)."""
+        u = np.asarray(state.un)
+        pfield = np.asarray(state.pn)
+        if self.structured:
+            u = u[:, self.perm]
+            pfield = pfield[self.perm_p]
+        return u.T, pfield
 
     def write_tecplot(self, state: ExplicitState, path) -> None:
         """FEBRICK `.dat` dump (ref ``createTecplot`` :4249-4482)."""

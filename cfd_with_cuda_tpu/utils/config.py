@@ -58,6 +58,10 @@ class SolverConfig:
     momentum_solver: str = "bicgstab"
     pressure_solver: str = "cg"
     gmres_restart: int = 100
+    # Structured-grid DIA fast path: "auto" detects box-grid decks and
+    # replaces gather-bound ELL SpMV with shift+FMA stencils; "never"
+    # forces ELL; "force" errors if the mesh is not a box grid.
+    structured: str = "auto"
     # Steps fused into one jitted device loop (0/1 = one step per dispatch).
     steps_per_chunk: int = 10
     # Print per-step monitor rows like the reference's monitor table.
