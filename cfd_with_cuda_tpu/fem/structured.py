@@ -24,7 +24,7 @@ from dataclasses import dataclass
 import numpy as np
 import scipy.sparse as sp
 
-__all__ = ["GridIndex", "detect_structured_grid", "dia_from_csr"]
+__all__ = ["GridIndex", "DiaOperator", "detect_structured_grid", "detect_structured_elements", "dia_from_csr"]
 
 
 @dataclass(frozen=True)
@@ -112,6 +112,40 @@ class DiaOperator:
         )
         out[chan] = self.vals
         return out
+
+
+def detect_structured_elements(
+    ltog_node: np.ndarray,
+    node_flat: np.ndarray,
+    fine_dims: tuple[int, int, int],
+) -> tuple[np.ndarray, tuple[int, int, int], np.ndarray] | None:
+    """Verify elements tile the fine grid; return element-grid ordering.
+
+    For each element, the 27 local nodes must sit at a common origin
+    (2I, 2J, 2K) plus the canonical fine-unit offsets (0..2 per axis,
+    from the reference local ordering).  Returns
+    ``(elem_perm (NE,), elem_dims, local_off (27, 3))`` where
+    ``elem_perm[e]`` is element e's flat grid id, or None if any element
+    deviates (rotated/mirrored connectivity -> gather fallback).
+    """
+    from cfd_with_cuda_tpu.fem.shape import HEX27_LOCAL_COORDS
+
+    fx, fy, fz = fine_dims
+    ex, ey, ez = (fx - 1) // 2, (fy - 1) // 2, (fz - 1) // 2
+    local = (HEX27_LOCAL_COORDS + 1).astype(np.int64)   # (27, 3) in 0..2
+    local_flat = local[:, 2] * fy * fx + local[:, 1] * fx + local[:, 0]
+
+    flat = node_flat[ltog_node]                          # (NE, NEN)
+    origin = flat[:, 0]                                  # corner 0
+    if not np.array_equal(flat, origin[:, None] + local_flat[None, :]):
+        return None
+    oz = origin // (fx * fy)
+    oy = (origin // fx) % fy
+    ox = origin % fx
+    if (ox % 2).any() or (oy % 2).any() or (oz % 2).any():
+        return None
+    elem_perm = (oz // 2 * ey + oy // 2) * ex + ox // 2
+    return elem_perm, (ex, ey, ez), local
 
 
 def dia_from_csr(

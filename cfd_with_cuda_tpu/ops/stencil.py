@@ -112,6 +112,82 @@ def dia_div_apply(
     return fine_to_coarse(acc, coarse_dims, fine_dims)
 
 
+def gather_elem_stencil(u: jax.Array, elem_dims, fine_dims) -> jax.Array:
+    """Elemental gather on a structured grid: one stride-2 window patches op.
+
+    ``u (C, S)`` -> ``(C, 27, NE)`` in *window-channel order* (z-major
+    window scan; the caller's element tables are pre-permuted to match).
+    Element (I,J,K) is the 3x3x3 fine-node window at origin (2I,2J,2K),
+    i.e. exactly ``conv_general_dilated_patches`` with stride 2.
+    (Measured at NE27000: 0.09 ms vs 6.2 ms for 27 lane-strided slices
+    vs 28 ms for the random x[ltog] gather.)
+    """
+    fx, fy, fz = fine_dims
+    c = u.shape[0]
+    u3 = u.reshape(c, 1, fz, fy, fx)
+    pat = lax.conv_general_dilated_patches(
+        u3, filter_shape=(3, 3, 3), window_strides=(2, 2, 2),
+        padding=[(0, 0)] * 3,
+    )
+    return pat.reshape(c, 27, -1)
+
+
+def scatter_elem_stencil(
+    r_e: jax.Array, local_off, elem_dims, fine_dims
+) -> jax.Array:
+    """Elemental scatter-add on a structured grid via dilated pads.
+
+    ``r_e (C, NEN, NE)`` -> ``(C, S)``.  Each local node's per-element
+    values are placed on the fine grid with ``lax.pad`` interior dilation
+    (one zero between elements) plus edge offsets — a dense XLA op chain,
+    no scatter.  Replaces ``segment_sum`` on the structured path.
+    """
+    ex, ey, ez = elem_dims
+    fx, fy, fz = fine_dims
+    c = r_e.shape[0]
+    acc = 0.0
+    for i, (ox, oy, oz) in enumerate(local_off):
+        v = r_e[:, i].reshape(c, ez, ey, ex)
+        padded = lax.pad(
+            v, jnp.zeros((), v.dtype),
+            (
+                (0, 0, 0),
+                (oz, fz - oz - (2 * ez - 1), 1),
+                (oy, fy - oy - (2 * ey - 1), 1),
+                (ox, fx - ox - (2 * ex - 1), 1),
+            ),
+        )
+        acc = acc + padded.reshape(c, -1)
+    return acc
+
+
+def convection_apply_stencil(
+    u0: jax.Array,
+    uprev: jax.Array,
+    Sv: jax.Array,
+    gDSv: jax.Array,
+    gq_factor: jax.Array,
+    local_off,
+    elem_dims,
+    fine_dims,
+) -> jax.Array:
+    """Matrix-free convection on a structured grid (gather/scatter-free).
+
+    Same math as ``ops.spmv.convection_apply`` with element tables in
+    element-grid order and their local-node axis permuted to
+    window-channel order; ``gDSv (3, NENv, NGP, NE)``, ``gq (NGP, NE)``;
+    ``local_off`` lists the channel-ordered fine-unit offsets for the
+    scatter.
+    """
+    u0_e = gather_elem_stencil(u0, elem_dims, fine_dims)
+    up_e = gather_elem_stencil(uprev, elem_dims, fine_dims)
+    u0_gq = jnp.einsum("ki,die->dke", Sv, u0_e)
+    udotg = jnp.einsum("dke,djke->jke", u0_gq, gDSv)
+    conv_gq = jnp.einsum("jke,dje->dke", udotg, up_e)
+    r1e = jnp.einsum("ki,ke,dke->die", Sv, gq_factor, conv_gq)
+    return scatter_elem_stencil(r1e, local_off, elem_dims, fine_dims)
+
+
 def patches_grad_apply(
     g_win: jax.Array, p: jax.Array, coarse_dims, fine_dims, radius: int
 ) -> jax.Array:

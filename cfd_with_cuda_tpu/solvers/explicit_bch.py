@@ -129,6 +129,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         # nodes lexicographically and build gather-free DIA operators
         # (fem/structured.py — random gathers are the TPU bottleneck).
         self.structured = False
+        self.elem_structured = False
         self.perm = None
         if self.config.structured in ("auto", "force"):
             self._try_structured(mesh, ops, Z, is_bc, bc_vel, md_inv, md_orig_inv)
@@ -230,6 +231,23 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         self.perm_p = perm_p
         self.fine_dims = (fx, fy, fz)
         self.coarse_dims = (cx, cy, cz)
+        # element-level structure: strided-slice elemental gather/scatter
+        # for convection (fem/structured.detect_structured_elements)
+        from cfd_with_cuda_tpu.fem.structured import detect_structured_elements
+
+        em = detect_structured_elements(mesh.ltog_node, perm, (fx, fy, fz))
+        self.elem_structured = em is not None
+        if em is not None:
+            elem_perm, self.elem_dims, local = em
+            # local-node axis goes to window-channel order (z-major window
+            # scan) so the stride-2 patches gather needs no permutation
+            chan = (local[:, 2] * 3 + local[:, 1]) * 3 + local[:, 0]
+            self.chan_order = np.argsort(chan)           # channel -> local
+            self.local_off = tuple(
+                (int(x), int(y), int(z)) for x, y, z in local[self.chan_order]
+            )
+        else:
+            elem_perm = None
         # K: roll-based DIA (bandwidth-bound on the big fine grid);
         # Z/G/GT: window-patches form (latency-bound small/medium applies).
         self.k_offsets = k_dia.flat_offsets
@@ -249,11 +267,22 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
 
         dev = lambda x: jnp.asarray(x, dtype=dtype)
         z_diag = permute_vec_p(np.asarray(Z.diagonal()))
+        gDSv_t = np.transpose(self.tables.gDSv, (3, 2, 1, 0))
+        gq_t = self.tables.gq_factor.T
+        Sv_t = self.tables.Sv
+        if self.elem_structured:
+            # element tables to element-grid order + channel-ordered locals
+            g2 = np.empty_like(gDSv_t)
+            g2[..., elem_perm] = gDSv_t
+            q2 = np.empty_like(gq_t)
+            q2[..., elem_perm] = gq_t
+            gDSv_t, gq_t = g2[:, self.chan_order], q2
+            Sv_t = Sv_t[:, self.chan_order]
         self.d = {
             "ltog": jnp.asarray(perm[mesh.ltog_node].T, dtype=jnp.int32),
-            "Sv": dev(self.tables.Sv),
-            "gDSv": dev(np.transpose(self.tables.gDSv, (3, 2, 1, 0))),
-            "gq": dev(self.tables.gq_factor.T),
+            "Sv": dev(Sv_t),
+            "gDSv": dev(gDSv_t),
+            "gq": dev(gq_t),
             "K_vals": dev(k_dia.vals),
             "G_win": dev(np.stack([g.window_vals(self.g_radius) for g in g_dias])),
             "GT_win": dev(np.stack([g.window_vals(self.gt_radius) for g in gt_dias])),
@@ -318,6 +347,8 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                 patches_spmv,
             )
 
+            from cfd_with_cuda_tpu.ops.stencil import convection_apply_stencil
+
             k_mul = lambda u: dia_spmv(d["K_vals"], u, self.k_offsets)
             z_mul = lambda p: patches_spmv(
                 d["Z_win"], p, self.coarse_dims, self.z_radius
@@ -351,9 +382,15 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
 
             # ---- step1: R1 = -K u* - A(un) u* - G pn  (ref :3712-3783)
             r1 = -k_mul(unp_half_prev)
-            r1 -= convection_apply(
-                un, unp_half_prev, d["ltog"], d["Sv"], d["gDSv"], d["gq"], nn
-            )
+            if self.structured and self.elem_structured:
+                r1 -= convection_apply_stencil(
+                    un, unp_half_prev, d["Sv"], d["gDSv"], d["gq"],
+                    self.local_off, self.elem_dims, self.fine_dims,
+                )
+            else:
+                r1 -= convection_apply(
+                    un, unp_half_prev, d["ltog"], d["Sv"], d["gDSv"], d["gq"], nn
+                )
             r1 -= grad(pn)
             r1 = r1 * mask
             unp_half = un + dt * r1 * d["md_inv"][None, :]
