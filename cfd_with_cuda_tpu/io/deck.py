@@ -105,14 +105,16 @@ def _header_fields(text: str) -> dict[str, str]:
 
 
 def _tokens_after(lines: list[str], start: int, n_rows: int, n_cols: int):
-    """Read n_rows of whitespace-separated numbers starting at line start."""
+    """Read n_rows of whitespace-separated numbers starting at line start
+    (skipping blank and ``====`` separator lines, which some legacy decks
+    interleave with section headers)."""
     out = np.empty((n_rows, n_cols))
     r = 0
     i = start
     while r < n_rows:
         toks = lines[i].split()
         i += 1
-        if not toks:
+        if not toks or toks[0].startswith("="):
             continue
         out[r] = [float(t) for t in toks[:n_cols]]
         r += 1

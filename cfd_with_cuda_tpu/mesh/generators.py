@@ -170,6 +170,59 @@ def cavity_deck(
     return deck
 
 
+def cavity_legacy_deck(
+    n_elem: int,
+    *,
+    cluster: float = 0.0,
+    lid_velocity=(1.0, 0.0, 0.0),
+    viscosity: float = 1.0,
+    density: float = 1.0,
+    max_iter: int = 50,
+    tolerance: float = 1e-6,
+    solver_iter_max: int = 2000,
+    solver_tol: float = 1e-10,
+) -> Deck:
+    """Legacy-dialect driven-cavity deck (equal-order 8-node hexes,
+    node-based BCs) like ``oldFiles/segregatedSolver/fem3dCavityInputNE1000.inp``:
+    BC 1 = moving lid (z = zmax, overrides walls at the lid edges — the
+    classic 'leaky lid'), BC 2 = no-slip walls, pressure pinned at node 0.
+    """
+    nx = n_elem + 1
+    coords, conn = cube_hex_mesh(nx, cluster=cluster)
+    on_wall = (
+        np.isclose(coords[:, 0], 0.0) | np.isclose(coords[:, 0], 1.0)
+        | np.isclose(coords[:, 1], 0.0) | np.isclose(coords[:, 1], 1.0)
+        | np.isclose(coords[:, 2], 0.0)
+    )
+    on_lid = np.isclose(coords[:, 2], 1.0)
+    bc_id = np.full(coords.shape[0], -1, dtype=np.int64)
+    bc_id[on_wall] = 1
+    bc_id[on_lid] = 0          # lid wins at the edges
+    nodes = np.flatnonzero(bc_id >= 0)
+
+    deck = Deck(dialect="legacy", title=f"3D legacy cavity {n_elem}^3")
+    deck.etype = 3
+    deck.ne = n_elem**3
+    deck.ncn = deck.nn = nx**3
+    deck.nenv = deck.nenp = 8
+    deck.ngp = 8
+    deck.max_iter = max_iter
+    deck.tolerance = tolerance
+    deck.solver_iter_max = solver_iter_max
+    deck.solver_tol = solver_tol
+    deck.density = density
+    deck.viscosity = viscosity
+    deck.coords = coords
+    deck.conn = conn
+    deck.bc_type = np.array([1.0, 2.0, 0.0])
+    deck.bc_str = np.array([list(lid_velocity), [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    deck.bc_vel_nodes = np.column_stack([nodes, bc_id[nodes]])
+    deck.bc_pres_nodes = np.array([[0, 2]], dtype=np.int64)
+    deck.zero_pressure_node = 0
+    deck.monitor_xyz = np.array([0.5, 0.5, 0.5])
+    return deck
+
+
 def channel_deck(
     ne_x: int,
     ne_y: int,

@@ -31,6 +31,13 @@ __all__ = ["make_mesh", "shard_params", "shard_state", "replicate"]
 def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(
+            f"requested a {n}-device mesh but only {len(devs)} devices are "
+            f"visible ({devs[0].platform}); for a virtual CPU mesh set "
+            "JAX_PLATFORMS=cpu, XLA_FLAGS=--xla_force_host_platform_device_"
+            "count=N and clear PALLAS_AXON_POOL_IPS"
+        )
     return Mesh(np.array(devs[:n]), (axis,))
 
 

@@ -181,6 +181,8 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                 deck.coords,
                 deck.monitor_xyz if deck.monitor_xyz is not None else (0.5,) * 3,
             )
+        if not self.structured:
+            self.s_pad = self.nn
         self.dt = float(deck.dt)
         self._compiled = {}
 
@@ -293,6 +295,18 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             "bc_mask": dev(permute_vec(np.where(is_bc, 0.0, 1.0))),
             "bc_vel": dev(np.stack([permute_vec(bc_vel[:, d]) for d in range(3)])),
         }
+        # sharding pad: zero-pad every fine-grid axis to a multiple of
+        # shard_pad (padding rows carry zero operator values, so results
+        # are unchanged; see utils/config.SolverConfig.shard_pad)
+        pad = max(1, int(self.config.shard_pad))
+        self.s_pad = -(-S // pad) * pad
+        if self.s_pad > S:
+            extra = self.s_pad - S
+            for key in list(self.d):
+                v = self.d[key]
+                if v.ndim >= 1 and v.shape[-1] == S and key not in ("ltog",):
+                    widths = [(0, 0)] * (v.ndim - 1) + [(0, extra)]
+                    self.d[key] = jnp.pad(v, widths)
         self.pin_grid = int(perm_p[self.pin]) if self.pin > 0 else -1
         mon = find_monitor_node(
             deck.coords,
@@ -317,7 +331,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         u = np.asarray(u).T.copy()
         p = np.asarray(p).copy()
         if self.structured:
-            ug = np.empty_like(u)
+            ug = np.zeros((3, self.s_pad), dtype=u.dtype)
             ug[:, self.perm] = u
             pg = np.empty_like(p)
             pg[self.perm_p] = p
@@ -325,7 +339,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         return ExplicitState(
             un=jnp.asarray(u, dtype=dtype),
             pn=jnp.asarray(p, dtype=dtype),
-            unp1_prev=jnp.zeros((3, self.nn), dtype=dtype),
+            unp1_prev=jnp.zeros((3, self.s_pad), dtype=dtype),
         )
 
     # ------------------------------------------------------------- one step
@@ -349,15 +363,20 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
 
             from cfd_with_cuda_tpu.ops.stencil import convection_apply_stencil
 
+            Sr = self.nn                     # real fine-grid size
+            pad_u = lambda y: jnp.pad(y, ((0, 0), (0, self.s_pad - Sr)))
+
             k_mul = lambda u: dia_spmv(d["K_vals"], u, self.k_offsets)
             z_mul = lambda p: patches_spmv(
-                d["Z_win"], p, self.coarse_dims, self.z_radius
+                d["Z_win"][:, :self.nnp], p, self.coarse_dims, self.z_radius
             )
-            grad = lambda p: patches_grad_apply(
-                d["G_win"], p, self.coarse_dims, self.fine_dims, self.g_radius
-            )
+            grad = lambda p: pad_u(patches_grad_apply(
+                d["G_win"][..., :Sr], p, self.coarse_dims, self.fine_dims,
+                self.g_radius,
+            ))
             div = lambda u: patches_div_apply(
-                d["GT_win"], u, self.coarse_dims, self.fine_dims, self.gt_radius
+                d["GT_win"][..., :Sr], u[:, :Sr], self.coarse_dims,
+                self.fine_dims, self.gt_radius,
             )
             pin = self.pin_grid
         else:
@@ -383,10 +402,12 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             # ---- step1: R1 = -K u* - A(un) u* - G pn  (ref :3712-3783)
             r1 = -k_mul(unp_half_prev)
             if self.structured and self.elem_structured:
-                r1 -= convection_apply_stencil(
-                    un, unp_half_prev, d["Sv"], d["gDSv"], d["gq"],
-                    self.local_off, self.elem_dims, self.fine_dims,
+                Sr2 = self.nn
+                conv = convection_apply_stencil(
+                    un[:, :Sr2], unp_half_prev[:, :Sr2], d["Sv"], d["gDSv"],
+                    d["gq"], self.local_off, self.elem_dims, self.fine_dims,
                 )
+                r1 -= jnp.pad(conv, ((0, 0), (0, self.s_pad - Sr2)))
             else:
                 r1 -= convection_apply(
                     un, unp_half_prev, d["ltog"], d["Sv"], d["gDSv"], d["gq"], nn
@@ -463,7 +484,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
     # ------------------------------------------------------------------- io
     def fields(self, state: ExplicitState) -> tuple[np.ndarray, np.ndarray]:
         """(u (NN,3), p (NNp,)) as numpy (host convention, deck node order)."""
-        u = np.asarray(state.un)
+        u = np.asarray(state.un)[:, : self.nn]
         pfield = np.asarray(state.pn)
         if self.structured:
             u = u[:, self.perm]

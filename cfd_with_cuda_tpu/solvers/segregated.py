@@ -1,0 +1,260 @@
+"""Segregated SIMPLE-like solver (Horoutunian scheme).
+
+Legacy-capability rebuild of ``oldFiles/segregatedSolver/segregatedSolver.cpp``
+(equal-order 8/8 hexes, node-BC legacy decks, steady).  Per outer
+iteration (``solve()`` :2195-2509):
+
+* STEP 1 — SCPE pressure correction (:2224-2280):
+  LHS = sum_d C_d^T diag(K_d)^{-1} C_d,  RHS = -(Cx^T u + Cy^T v + Cz^T w)
+  solved by CG/CR (the reference builds the triple product with CUSP SpMM
+  on the GPU, ``CUSP_pC_CUDA_CG.cu:41-397``; here scipy at each outer
+  iteration, solved by the jitted Krylov suite).
+* STEP 2 — mass adjustment (:2284-2322): u += diag(K_u)^{-1} C_x dp (and
+  cyclic), p += (1 - alpha4) dp, velocity BCs re-imposed.
+* STEP 3 — relaxed momentum solves (:2326-2431), sequential phases x,y,z:
+  [K_d + alpha/(1-alpha) diag(K_d)] u_d = C_d p - K_coupling u_other
+  + alpha/(1-alpha) diag(K_d) u_d, Dirichlet rows, GMRES/BiCG.
+
+Operators (equal-order, ``calcGlobalSys_p`` :1580-1689, ``calcFixedK``
+:1263-1330, ``calcPressureGradientOp`` :1422-1490):
+
+* K_d   = nu (factor_d-weighted grad-grad) + rho S_i (u0 . grad S_j),
+          factor 2 on the phase direction (stress-divergence diagonal)
+* K_d1d2 = nu dS_i/d2 dS_j/d1  (fixed viscous coupling blocks)
+* C_d   = int dS_i/dd Sp_j     (pressure gradient; positive, unscaled)
+
+Relaxation factors alpha[0..3] come from the deck (``relaxation`` row).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from cfd_with_cuda_tpu.fem.jacobian import build_element_tables
+from cfd_with_cuda_tpu.fem.sparse import build_csr_pattern, ell_from_csr
+from cfd_with_cuda_tpu.io.deck import Deck
+from cfd_with_cuda_tpu.ops.krylov import solver_by_name
+from cfd_with_cuda_tpu.ops.spmv import ell_spmv
+
+__all__ = ["SegregatedSolver"]
+
+
+@dataclass
+class SegregatedSolver:
+    deck: Deck
+
+    def __init__(self, deck: Deck, *,
+                 pressure_solver: str = "cg",
+                 momentum_solver: str = "gmres",
+                 solver_tol: float | None = None,
+                 solver_maxiter: int | None = None,
+                 gmres_restart: int = 100):
+        if deck.nenv != deck.nenp:
+            raise ValueError("the segregated solver is equal-order (8/8)")
+        self.deck = deck
+        self.pressure_solver = pressure_solver
+        self.momentum_solver = momentum_solver
+        self.solver_tol = solver_tol if solver_tol is not None else (
+            deck.solver_tol or 1e-10
+        )
+        self.solver_maxiter = solver_maxiter if solver_maxiter is not None else min(
+            deck.solver_iter_max or 1000, 5000
+        )
+        self.gmres_restart = gmres_restart
+        self.alpha = np.asarray(deck.relaxation or (0.5, 0.5, 0.5, 0.5))
+        self._setup()
+
+    # ------------------------------------------------------------------ setup
+    def _setup(self):
+        deck = self.deck
+        self.nn = deck.nn or deck.ncn
+        tab = build_element_tables(
+            deck.coords, deck.conn, etype=1, nenv=deck.nenv,
+            nenp=deck.nenp, ngp=deck.ngp,
+        )
+        self.tab = tab
+        self.pat = build_csr_pattern(deck.conn, deck.conn, self.nn, self.nn)
+
+        g = tab.gDSv
+        S = tab.Sp
+        w = tab.gq_factor
+        nu = deck.viscosity
+
+        # fixed operators: C_d and viscous coupling blocks (sign/scale per ref)
+        ce = [np.einsum("eki,kj,ek->eij", g[..., d], S, w, optimize=True)
+              for d in range(3)]
+        self.C = [self.pat.to_scipy(self.pat.assemble(c)) for c in ce]
+        self.CT = [c.T.tocsr() for c in self.C]
+
+        def coupling(da, db):
+            # K_uv = nu dS_i/dy dS_j/dx for (u-eq, v-col) etc (:1296-1298)
+            return self.pat.to_scipy(self.pat.assemble(
+                nu * np.einsum("eki,ekj,ek->eij", g[..., db], g[..., da], w,
+                               optimize=True)
+            ))
+
+        self.K_uv, self.K_uw = coupling(1, 0), coupling(2, 0)
+        self.K_vu, self.K_vw = self.K_uv.T.tocsr(), coupling(2, 1)
+        self.K_wu, self.K_wv = self.K_uw.T.tocsr(), self.K_vw.T.tocsr()
+        self.coupling = {
+            0: [(self.K_uv, 1), (self.K_uw, 2)],
+            1: [(self.K_vu, 0), (self.K_vw, 2)],
+            2: [(self.K_wu, 0), (self.K_wv, 1)],
+        }
+
+        vn = deck.bc_vel_nodes
+        self.vel_nodes = vn[:, 0] if len(vn) else np.empty(0, np.int64)
+        self.vel_vals = deck.bc_str[vn[:, 1], :3] if len(vn) else np.empty((0, 3))
+        pn = deck.bc_pres_nodes
+        self.pres_nodes = pn[:, 0] if len(pn) else np.empty(0, np.int64)
+        self.pres_vals = deck.bc_str[pn[:, 1], 0] if len(pn) else np.empty(0)
+
+        # viscous+convective grad-grad factors per phase (:1703-1719)
+        self._lapw = [
+            np.einsum("eki,ekj,ek->eij", g[..., d], g[..., d], w, optimize=True)
+            for d in range(3)
+        ]
+        self._conn = deck.conn
+
+    def _momentum_elemental(self, phase: int, u: np.ndarray, v, w_):
+        """Ke for the phase momentum equation (calcGlobalSys_mom)."""
+        tab = self.tab
+        deck = self.deck
+        nu, rho = deck.viscosity, deck.density
+        g = tab.gDSv
+        S = tab.Sp
+        w = tab.gq_factor
+        factors = np.ones(3)
+        factors[phase] = 2.0
+        visc = sum(factors[d] * self._lapw[d] for d in range(3)) * nu
+        uvw = np.stack([u, v, w_], axis=1)           # (NN, 3)
+        u0e = uvw[self._conn]
+        u0g = np.einsum("ki,eid->ekd", S, u0e)
+        adv = np.einsum("ekd,ekjd->ekj", u0g, g)
+        conv = rho * np.einsum("ki,ekj,ek->eij", S, adv, w, optimize=True)
+        return visc + conv
+
+    # ------------------------------------------------------------------ solve
+    def _krylov(self, A: sp.csr_matrix, b: np.ndarray, name: str):
+        ell = ell_from_csr(
+            A.indptr.astype(np.int64), A.indices.astype(np.int64), A.data,
+            n_cols=A.shape[1],
+        )
+        vals = jnp.asarray(ell.vals)
+        cols = jnp.asarray(ell.cols)
+        diag = np.asarray(A.diagonal())
+        diag = np.where(diag == 0.0, 1.0, diag)
+        diagj = jnp.asarray(diag)
+        solve = solver_by_name(name)
+        kwargs = dict(tol=self.solver_tol, maxiter=self.solver_maxiter,
+                      precond=lambda r: r / diagj)
+        if name == "gmres":
+            kwargs["restart"] = self.gmres_restart
+        res = solve(lambda x: ell_spmv(vals, cols, x), jnp.asarray(b), **kwargs)
+        # np.array (copy): views of jax arrays are read-only and the outer
+        # loop mutates the returned velocity fields in place
+        return np.array(res.x), int(res.iters)
+
+    def solve(self, *, max_outer: int | None = None, tol: float | None = None,
+              verbose: bool = False):
+        deck = self.deck
+        nn = self.nn
+        a = self.alpha
+        max_outer = max_outer or deck.max_iter or 100
+        tol = tol if tol is not None else (deck.tolerance or 1e-6)
+
+        u = np.zeros(nn)
+        v = np.zeros(nn)
+        w_ = np.zeros(nn)
+        p = np.zeros(nn)
+        # impose BCs on the initial field (applyBC / applyBC_p)
+        u[self.vel_nodes] = self.vel_vals[:, 0]
+        v[self.vel_nodes] = self.vel_vals[:, 1]
+        w_[self.vel_nodes] = self.vel_vals[:, 2]
+        p[self.pres_nodes] = self.pres_vals
+
+        vel = [u, v, w_]
+        history = []
+        for it in range(1, max_outer + 1):
+            # ---- STEP 1: SCPE  (:2224-2280)
+            kdiag = []
+            for ph in range(3):
+                ke = self._momentum_elemental(ph, *vel)
+                diag = np.zeros(nn)
+                d_ele = np.einsum("eii->ei", ke)
+                np.add.at(diag, self._conn.ravel(), d_ele.ravel())
+                kdiag.append(diag)
+            kinv = [1.0 / d for d in kdiag]
+
+            lhs = sum(
+                (self.CT[d] @ sp.diags(kinv[d]) @ self.C[d]).tocsr()
+                for d in range(3)
+            )
+            rhs = -sum(self.CT[d] @ vel[d] for d in range(3))
+            # pressure pin: fix delta_p at pressure-BC nodes
+            lhs = lhs.tolil()
+            for node in self.pres_nodes:
+                lhs.rows[node] = [int(node)]
+                lhs.data[node] = [1.0]
+            lhs = lhs.tocsr()
+            rhs[self.pres_nodes] = 0.0
+            dp, p_iters = self._krylov(lhs, rhs, self.pressure_solver)
+
+            # ---- STEP 2: mass adjustment  (:2284-2322)
+            for ph in range(3):
+                vel[ph] += kinv[ph] * (self.C[ph] @ dp)
+                vel[ph][self.vel_nodes] = self.vel_vals[:, ph]
+            p += (1.0 - a[3]) * dp
+            p[self.pres_nodes] = self.pres_vals
+
+            # ---- STEP 3: momentum solves  (:2326-2431)
+            new_vel = []
+            mom_iters = []
+            for ph in range(3):
+                ke = self._momentum_elemental(ph, *vel)
+                tempdiag = np.zeros(nn)
+                d_ele = np.einsum("eii->ei", ke)
+                np.add.at(tempdiag, self._conn.ravel(), d_ele.ravel())
+                # relax the elemental diagonal (:1801-1802)
+                boost = a[ph] / (1.0 - a[ph])
+                idx = np.arange(ke.shape[1])
+                ke[:, idx, idx] *= (1.0 + boost)
+                K = self.pat.to_scipy(self.pat.assemble(ke))
+
+                F = self.C[ph] @ p
+                for mat, other in self.coupling[ph]:
+                    F -= mat @ vel[other]
+                F += boost * tempdiag * vel[ph]
+
+                # Dirichlet rows (applyBC :1893-1946)
+                keep = np.ones(nn)
+                keep[self.vel_nodes] = 0.0
+                K = (sp.diags(keep) @ K + sp.diags(1.0 - keep)).tocsr()
+                F[self.vel_nodes] = self.vel_vals[:, ph]
+
+                x, its = self._krylov(K, F, self.momentum_solver)
+                new_vel.append(x)
+                mom_iters.append(its)
+            vel = new_vel
+
+            max_dp = np.abs(dp).max()
+            history.append({
+                "iter": it, "max_dp": float(max_dp), "p_iters": p_iters,
+                "mom_iters": mom_iters,
+            })
+            if verbose:
+                print(f"outer {it:3d}  max|dp|={max_dp:.3e} "
+                      f"p_it={p_iters} mom_it={mom_iters}")
+            # the reference only accepts convergence from iteration 2 on —
+            # iteration 1's dp is identically zero for a clean start
+            # (:2483 "maxChange < nonlinearTol && iter > 1")
+            if max_dp < tol and it > 1:
+                break
+
+        u_out = np.stack(vel, axis=1)
+        return u_out, p, history

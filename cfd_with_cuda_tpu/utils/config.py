@@ -64,6 +64,11 @@ class SolverConfig:
     structured: str = "auto"
     # Steps fused into one jitted device loop (0/1 = one step per dispatch).
     steps_per_chunk: int = 10
+    # Pad the fine-grid axis to a multiple of this (structured path only):
+    # sharded device_put requires the sharded axis divisible by the mesh
+    # size, and odd box grids ((2n+1)^3) never are.  Padding slots carry
+    # zero operator values, so results are bit-identical.
+    shard_pad: int = 1
     # Print per-step monitor rows like the reference's monitor table.
     verbose: bool = False
 

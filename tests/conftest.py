@@ -9,8 +9,11 @@ is imported anywhere.
 import os
 
 # Force CPU (the environment presets JAX_PLATFORMS=axon for the real TPU;
-# tests must run on the virtual 8-device CPU mesh instead).
+# tests must run on the virtual 8-device CPU mesh instead).  The axon
+# sitecustomize registers its PJRT plugin whenever PALLAS_AXON_POOL_IPS is
+# set and that registration overrides JAX_PLATFORMS — clear it too.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
