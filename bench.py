@@ -25,7 +25,10 @@ sys.path.insert(0, str(Path(__file__).parent))
 REF_DECK = "/root/reference/inputFiles/lidDrivenCavity/lidDrivenCavity_NE27000.inp"
 
 N_MEASURE = 30
-N_WARM = 5
+# warmup must run >= steps_per_chunk steps so the measured phase reuses the
+# compiled chunk graph (a shorter warmup makes the measurement eat a fresh
+# XLA compile)
+N_WARM = 10
 ORACLE_STEPS = 2
 
 

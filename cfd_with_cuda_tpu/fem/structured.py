@@ -154,7 +154,8 @@ def dia_from_csr(
     col_grid: np.ndarray,
     dims: tuple[int, int, int],
     max_radius: int = 4,
-) -> DiaOperator | None:
+    return_slots: bool = False,
+):
     """Convert sparse A to DIA over a common flat 3D grid space.
 
     ``row_grid (n_rows,)`` / ``col_grid (n_cols,)`` give each matrix
@@ -169,13 +170,19 @@ def dia_from_csr(
     def ijk(flat):
         return np.stack([flat // (sx * sy), (flat // sx) % sy, flat % sx], axis=-1)
 
-    coo = A.tocoo()
+    coo = A.tocoo()                    # CSR->COO keeps row-major nnz order
     d3 = ijk(col_grid[coo.col]) - ijk(row_grid[coo.row])          # (nnz, 3)
     if np.abs(d3).max(initial=0) > max_radius:
-        return None
+        return (None, None) if return_slots else None
     offsets3, inverse = np.unique(d3, axis=0, return_inverse=True)
     vals = np.zeros((offsets3.shape[0], size), dtype=coo.data.dtype)
     vals[inverse, row_grid[coo.row]] = coo.data
     flat = tuple(int(dz) * sy * sx + int(dy) * sx + int(dx)
                  for dz, dy, dx in offsets3)
-    return DiaOperator(offsets3=offsets3, flat_offsets=flat, vals=vals, dims=dims)
+    op = DiaOperator(offsets3=offsets3, flat_offsets=flat, vals=vals, dims=dims)
+    if return_slots:
+        # per-CSR-nnz flat slot into the (n_offsets, size) value array —
+        # the scatter target for device-side per-step (re)assembly
+        slots = inverse * size + row_grid[coo.row]
+        return op, slots
+    return op

@@ -113,6 +113,18 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         diag_add = np.zeros(nnz)
         diag_add[diag_all_slots[is_bc]] = 1.0
 
+        # ---- structured fast path (see explicit_bch._try_structured) ----
+        self.structured = False
+        self.elem_structured = False
+        if cfg.structured in ("auto", "force"):
+            self._try_structured(mesh, ops, Z, is_bc, bc_vel, mk_vals, pat)
+            if cfg.structured == "force" and not self.structured:
+                raise ValueError("structured mode forced but mesh is not a box grid")
+        if self.structured:
+            self.dt = float(deck.dt)
+            self._momentum_solver = solver_by_name(cfg.momentum_solver)
+            return
+
         mk_ell = ell_from_csr(pat, values=mk_vals)
         m_ell = ell_from_csr(pat, values=ops.M)
         g_ells = [ell_from_csr(ops.pattern_g, values=ops.G[d]) for d in range(3)]
@@ -163,6 +175,133 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         self.dt = float(deck.dt)
         self._momentum_solver = solver_by_name(cfg.momentum_solver)
 
+    def _try_structured(self, mesh, ops, Z, is_bc, bc_vel, mk_vals, pat):
+        """DIA operators + per-step device assembly maps for a box grid."""
+        from cfd_with_cuda_tpu.fem.structured import (
+            detect_structured_elements,
+            detect_structured_grid,
+            dia_from_csr,
+        )
+
+        deck = self.deck
+        dtype = self.config.jnp_dtype()
+        gi = detect_structured_grid(mesh.coords)
+        if gi is None:
+            return
+        gi_p = detect_structured_grid(mesh.coords[: self.nnp])
+        if gi_p is None:
+            return
+        fx, fy, fz = gi.dims
+        cx, cy, cz = gi_p.dims
+        if (fx, fy, fz) != (2 * cx - 1, 2 * cy - 1, 2 * cz - 1):
+            return
+        perm = gi.flat_of_node
+        perm_p = gi_p.flat_of_node
+        I = perm_p % cx
+        J = (perm_p // cx) % cy
+        Kc = perm_p // (cx * cy)
+        embed = (2 * Kc * fy + 2 * J) * fx + 2 * I
+        if not np.array_equal(perm[: self.nnp], embed):
+            return
+        em = detect_structured_elements(mesh.ltog_node, perm, (fx, fy, fz))
+        if em is None:
+            return
+        elem_perm, elem_dims, local = em
+
+        MK = pat.to_scipy(mk_vals)
+        mk_dia, slots = dia_from_csr(MK, perm, perm, gi.dims, return_slots=True)
+        m_dia = dia_from_csr(pat.to_scipy(ops.M), perm, perm, gi.dims)
+        z_dia = dia_from_csr(Z, perm_p, perm_p, gi_p.dims)
+        g_dias = [dia_from_csr(ops.G_csr(d), perm, embed, gi.dims) for d in range(3)]
+        gt_dias = [
+            dia_from_csr(ops.G_csr(d).T.tocsr(), embed, perm, gi.dims)
+            for d in range(3)
+        ]
+        if any(x is None for x in [mk_dia, m_dia, z_dia, *g_dias, *gt_dias]):
+            return
+        # M and MK must share the DIA offset layout for cheap addition
+        if m_dia.flat_offsets != mk_dia.flat_offsets:
+            return
+
+        self.structured = True
+        self.elem_structured = True
+        self.perm = perm
+        self.perm_p = perm_p
+        self.fine_dims = (fx, fy, fz)
+        self.coarse_dims = (cx, cy, cz)
+        self.elem_dims = elem_dims
+        self.a_offsets = mk_dia.flat_offsets
+        self.a_zero_off = self.a_offsets.index(0)
+        self.z_radius = z_dia.radius
+        self.g_radius = max(g.radius for g in g_dias)
+        self.gt_radius = max(g.radius for g in gt_dias)
+
+        chan = (local[:, 2] * 3 + local[:, 1]) * 3 + local[:, 0]
+        order = np.argsort(chan)
+        self.chan_order = order
+        self.local_off = tuple((int(x), int(y), int(z)) for x, y, z in local[order])
+
+        # elemental (channel_i, channel_j, grid_elem) -> DIA flat slot
+        nnz_slots = np.asarray(slots)
+        scatter = nnz_slots[pat.scatter]                 # (NE, a, b) deck order
+        scatter = scatter[:, order][:, :, order]         # channel-ordered locals
+        scatter_g = np.empty_like(scatter)
+        scatter_g[elem_perm] = scatter                   # element-grid order
+        scatter_g = np.transpose(scatter_g, (1, 2, 0))   # (a, b, NE)
+
+        S = gi.size
+        self._dia_nslots = mk_dia.vals.size
+        self._dia_shape = mk_dia.vals.shape
+
+        def permute_vec(v):
+            out = np.empty_like(v)
+            out[perm] = v
+            return out
+
+        def permute_vec_p(v):
+            out = np.empty_like(v)
+            out[perm_p] = v
+            return out
+
+        gDSv_t = np.transpose(self.tables.gDSv, (3, 2, 1, 0))
+        gq_t = self.tables.gq_factor.T
+        g2 = np.empty_like(gDSv_t)
+        g2[..., elem_perm] = gDSv_t
+        q2 = np.empty_like(gq_t)
+        q2[..., elem_perm] = gq_t
+        gDSv_t = g2[:, order]
+        gq_t = q2
+        Sv_t = self.tables.Sv[:, order]
+
+        dev = lambda x: jnp.asarray(x, dtype=dtype)
+        row_ids = np.repeat(np.arange(mesh.nn), np.diff(pat.indptr))
+        bc_mask = np.where(is_bc, 0.0, 1.0)
+        diag_add = np.zeros(S)
+        diag_add[perm[is_bc]] = 1.0
+
+        self.d = {
+            "Sv": dev(Sv_t),
+            "gDSv": dev(gDSv_t),
+            "gq": dev(gq_t),
+            "scatter_dia": jnp.asarray(scatter_g, dtype=jnp.int32),
+            "MK_vals": dev(mk_dia.vals),
+            "M_vals": dev(m_dia.vals),
+            "row_mask_grid": dev(permute_vec(bc_mask)),
+            "diag_add_grid": dev(diag_add),
+            "G_win": dev(np.stack([g.window_vals(self.g_radius) for g in g_dias])),
+            "GT_win": dev(np.stack([g.window_vals(self.gt_radius) for g in gt_dias])),
+            "Z_win": dev(z_dia.window_vals()),
+            "Z_diag": dev(permute_vec_p(np.asarray(Z.diagonal()))),
+            "bc_mask": dev(permute_vec(bc_mask)),
+            "bc_vel": dev(np.stack([permute_vec(bc_vel[:, d]) for d in range(3)])),
+        }
+        self.pin_grid = int(perm_p[self.pin]) if self.pin > 0 else -1
+        mon = find_monitor_node(
+            deck.coords,
+            deck.monitor_xyz if deck.monitor_xyz is not None else (0.5,) * 3,
+        )
+        self.monitor_node = int(perm[mon])
+
     # ----------------------------------------------------------------- state
     def initial_state(self) -> ImplicitState:
         dtype = self.config.jnp_dtype()
@@ -172,13 +311,96 @@ class ImplicitGQSolver(ChunkedTimeLoop):
 
     def state_from_fields(self, u, p) -> ImplicitState:
         dtype = self.config.jnp_dtype()
-        p = jnp.asarray(p, dtype=dtype)
+        u = np.asarray(u).T.copy()
+        p = np.asarray(p).copy()
+        if self.structured:
+            ug = np.empty_like(u)
+            ug[:, self.perm] = u
+            pg = np.empty_like(p)
+            pg[self.perm_p] = p
+            u, p = ug, pg
+        pj = jnp.asarray(p, dtype=dtype)
         return ImplicitState(
-            uk=jnp.asarray(np.asarray(u).T, dtype=dtype), pk=p, pk_prev=p
+            uk=jnp.asarray(u, dtype=dtype), pk=pj, pk_prev=pj
         )
 
     # ------------------------------------------------------------- one step
     def _time_step(self, params, state: ImplicitState):
+        if self.structured:
+            return self._time_step_structured(params, state)
+        return self._time_step_ell(params, state)
+
+    def _time_step_structured(self, params, state: ImplicitState):
+        """Structured path: per-step LHS (re)assembled straight into DIA
+        slots by one segment-sum; all operator applications are stencils."""
+        from cfd_with_cuda_tpu.ops.stencil import (
+            dia_spmv,
+            gather_elem_stencil,
+            patches_div_apply,
+            patches_grad_apply,
+            patches_spmv,
+        )
+
+        d = params
+        cfg = self.config
+        dt = self.dt
+        uk_prev, pk_prev, pk_prevprev = state
+
+        # A = M/dt + K + A(u^k): convection assembled into DIA value slots
+        u0_e = gather_elem_stencil(uk_prev, self.elem_dims, self.fine_dims)
+        u0_gq = jnp.einsum("ki,die->dke", d["Sv"], u0_e)
+        udotg = jnp.einsum("dke,djke->jke", u0_gq, d["gDSv"])
+        ae = jnp.einsum("ki,ke,jke->ije", d["Sv"], d["gq"], udotg)
+        conv_vals = jax.ops.segment_sum(
+            ae.reshape(-1), d["scatter_dia"].reshape(-1),
+            num_segments=self._dia_nslots,
+        ).reshape(self._dia_shape)
+        a_vals = (d["MK_vals"] + conv_vals) * d["row_mask_grid"][None, :]
+        a_vals = a_vals.at[self.a_zero_off].add(d["diag_add_grid"])
+        a_diag = a_vals[self.a_zero_off]
+
+        # RHS = (M/dt) u^k - G (2 p^k - p^{k-1}); BC rows = BC values
+        pdiff2 = 2.0 * pk_prev - pk_prevprev
+        r1 = dia_spmv(d["M_vals"], uk_prev, self.a_offsets)
+        r1 = r1 - patches_grad_apply(
+            d["G_win"], pdiff2, self.coarse_dims, self.fine_dims, self.g_radius
+        )
+        r1 = r1 * d["bc_mask"][None, :] + d["bc_vel"]
+
+        mom = self._momentum_solver(
+            lambda x: dia_spmv(a_vals, x, self.a_offsets),
+            r1,
+            tol=cfg.momentum_tol,
+            atol=cfg.momentum_abs_tol,
+            maxiter=cfg.momentum_maxiter,
+            precond=lambda r: r / a_diag,
+        )
+        uk = mom.x
+
+        r2 = (-1.0 / dt) * patches_div_apply(
+            d["GT_win"], uk, self.coarse_dims, self.fine_dims, self.gt_radius
+        )
+        if self.pin_grid > 0:
+            r2 = r2.at[self.pin_grid].set(0.0)
+        sol = cg(
+            lambda p: patches_spmv(d["Z_win"], p, self.coarse_dims, self.z_radius),
+            r2,
+            tol=cfg.pressure_cg_tol,
+            maxiter=cfg.pressure_cg_maxiter,
+            precond=lambda r: r / d["Z_diag"],
+        )
+        pk = pk_prev + sol.x
+
+        max_acc = jnp.max(jnp.abs(uk - uk_prev)) / dt
+        mon = self.monitor_node
+        stats = StepStats(
+            u_mon=uk[0, mon], v_mon=uk[1, mon], w_mon=uk[2, mon],
+            p_mon=pk[mon], max_acc=max_acc, iters=jnp.asarray(1),
+            cg_iters=sol.iters, mom_iters=mom.iters,
+        )
+        return ImplicitState(uk=uk, pk=pk, pk_prev=pk_prev), stats
+
+    def _time_step_ell(self, params, state: ImplicitState):
         d = params
         cfg = self.config
         dt = self.dt
@@ -254,8 +476,13 @@ class ImplicitGQSolver(ChunkedTimeLoop):
 
     # ------------------------------------------------------------------- io
     def fields(self, state: ImplicitState):
-        """(u (NN,3), p (NNp,)) as numpy (host convention)."""
-        return np.asarray(state.uk).T, np.asarray(state.pk)
+        """(u (NN,3), p (NNp,)) as numpy (host convention, deck order)."""
+        u = np.asarray(state.uk)
+        pf = np.asarray(state.pk)
+        if self.structured:
+            u = u[:, self.perm]
+            pf = pf[self.perm_p]
+        return u.T, pf
 
     def write_tecplot(self, state: ImplicitState, path) -> None:
         from cfd_with_cuda_tpu.io.tecplot import write_tecplot

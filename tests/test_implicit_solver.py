@@ -56,6 +56,27 @@ def test_first_step_zero_rhs_columns_no_nan():
     assert np.isfinite(u).all() and np.isfinite(p).all()
 
 
+def test_structured_path_matches_ell_path():
+    """DIA/stencil implicit step == ELL implicit step (within the
+    momentum/pressure solver tolerances)."""
+    from cfd_with_cuda_tpu.utils.config import SolverConfig
+
+    deck = cavity_deck(3, viscosity=0.1, dt=0.01, cluster=0.8)
+    cfg_e = SolverConfig(steps_per_chunk=4, pressure_cg_tol=1e-10,
+                         momentum_tol=1e-10, structured="never")
+    cfg_s = SolverConfig(steps_per_chunk=4, pressure_cg_tol=1e-10,
+                         momentum_tol=1e-10, structured="force")
+    s_e = ImplicitGQSolver(deck, cfg_e)
+    s_s = ImplicitGQSolver(deck, cfg_s)
+    assert s_s.structured
+    a, _ = s_e.run(n_steps=6)
+    b, _ = s_s.run(n_steps=6)
+    u1, p1 = s_e.fields(a)
+    u2, p2 = s_s.fields(b)
+    np.testing.assert_allclose(u1, u2, atol=1e-7)
+    np.testing.assert_allclose(p1, p2, atol=1e-6)
+
+
 def test_explicit_and_implicit_agree_physically():
     """Both integrators drive the same cavity toward the same steady field
     (coarse mesh, moderate viscosity; integrator error ~O(dt))."""
