@@ -97,14 +97,16 @@ class DiaOperator:
     def radius(self) -> int:
         return int(np.abs(self.offsets3).max())
 
-    def window_vals(self, radius: int | None = None) -> np.ndarray:
+    def window_vals(self, radius: int | None = None,
+                    dtype=None) -> np.ndarray:
         """(W^3, S) value array in conv-patches channel order (z-major
         window scan), zero rows for absent offsets — the layout consumed
         by ``ops.stencil.patches_spmv``."""
         r = self.radius if radius is None else radius
         assert r >= self.radius
         w = 2 * r + 1
-        out = np.zeros((w * w * w, self.vals.shape[1]), dtype=self.vals.dtype)
+        out = np.zeros((w * w * w, self.vals.shape[1]),
+                       dtype=dtype or self.vals.dtype)
         chan = (
             (self.offsets3[:, 0] + r) * w * w
             + (self.offsets3[:, 1] + r) * w
@@ -167,14 +169,34 @@ def dia_from_csr(
     sx, sy, sz = dims
     size = sx * sy * sz
 
-    def ijk(flat):
-        return np.stack([flat // (sx * sy), (flat // sx) % sy, flat % sx], axis=-1)
-
     coo = A.tocoo()                    # CSR->COO keeps row-major nnz order
-    d3 = ijk(col_grid[coo.col]) - ijk(row_grid[coo.row])          # (nnz, 3)
-    if np.abs(d3).max(initial=0) > max_radius:
+    rg = row_grid[coo.row]
+    cg = col_grid[coo.col]
+    # per-axis deltas as scalar int arrays (no (nnz,3) stacking — and the
+    # offsets are deduplicated through a packed integer key: np.unique on
+    # 1-D ints is ~100x faster than unique(axis=0) on row tuples)
+    dz = cg // (sx * sy) - rg // (sx * sy)
+    dy = (cg // sx) % sy - (rg // sx) % sy
+    dx = cg % sx - rg % sx
+    if max(
+        np.abs(dz).max(initial=0), np.abs(dy).max(initial=0),
+        np.abs(dx).max(initial=0),
+    ) > max_radius:
         return (None, None) if return_slots else None
-    offsets3, inverse = np.unique(d3, axis=0, return_inverse=True)
+    K = 2 * max_radius + 1
+    keys = ((dz + max_radius) * K + (dy + max_radius)) * K + (dx + max_radius)
+    # bounded key domain (K^3 <= 729): bincount + lookup table replaces a
+    # 20M-element sort entirely
+    present = np.bincount(keys, minlength=K * K * K) > 0
+    ukeys = np.flatnonzero(present)
+    lut = np.zeros(K * K * K, dtype=np.int64)
+    lut[ukeys] = np.arange(ukeys.size)
+    inverse = lut[keys]
+    offsets3 = np.stack(
+        [ukeys // (K * K) - max_radius,
+         (ukeys // K) % K - max_radius,
+         ukeys % K - max_radius], axis=-1,
+    )
     vals = np.zeros((offsets3.shape[0], size), dtype=coo.data.dtype)
     vals[inverse, row_grid[coo.row]] = coo.data
     flat = tuple(int(dz) * sy * sx + int(dy) * sx + int(dx)

@@ -58,16 +58,26 @@ def _first_seen_ids(keys: np.ndarray) -> tuple[np.ndarray, int]:
 
     Returns (ids (len(keys),), num_unique).  Reproduces the reference's
     incremental first-seen numbering (:1095-1101) without the quadratic
-    coordinate search.
+    coordinate search.  Rows are packed into scalar int64 keys; the
+    native C++ runtime kernel is used when available.
     """
-    _, first_idx, inverse = np.unique(
-        keys, axis=0, return_index=True, return_inverse=True
-    )
-    # Rank unique rows by their first appearance in the original ordering.
-    order = np.argsort(first_idx, kind="stable")
-    rank = np.empty_like(order)
-    rank[order] = np.arange(order.size)
-    return rank[inverse], order.size
+    keys = np.asarray(keys, dtype=np.int64)
+    base = int(keys.max()) + 1 if keys.size else 1
+    packed = keys[:, 0]
+    for c in range(1, keys.shape[1]):
+        packed = packed * base + keys[:, c]
+    try:
+        from cfd_with_cuda_tpu.runtime import native
+
+        return native.first_seen_ids(packed)
+    except ImportError:
+        _, first_idx, inverse = np.unique(
+            packed, return_index=True, return_inverse=True
+        )
+        order = np.argsort(first_idx, kind="stable")
+        rank = np.empty_like(order)
+        rank[order] = np.arange(order.size)
+        return rank[inverse], order.size
 
 
 def promote_hex_mesh(corner_conn: np.ndarray, corner_coords: np.ndarray) -> PromotedMesh:

@@ -286,9 +286,9 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             "gDSv": dev(gDSv_t),
             "gq": dev(gq_t),
             "K_vals": dev(k_dia.vals),
-            "G_win": dev(np.stack([g.window_vals(self.g_radius) for g in g_dias])),
-            "GT_win": dev(np.stack([g.window_vals(self.gt_radius) for g in gt_dias])),
-            "Z_win": dev(z_dia.window_vals()),
+            "G_win": dev(np.stack([g.window_vals(self.g_radius, dtype) for g in g_dias])),
+            "GT_win": dev(np.stack([g.window_vals(self.gt_radius, dtype) for g in gt_dias])),
+            "Z_win": dev(z_dia.window_vals(dtype=dtype)),
             "Z_diag": dev(z_diag),
             "md_inv": dev(permute_vec(md_inv)),
             "md_orig_inv": dev(permute_vec(md_orig_inv)),

@@ -288,9 +288,9 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             "M_vals": dev(m_dia.vals),
             "row_mask_grid": dev(permute_vec(bc_mask)),
             "diag_add_grid": dev(diag_add),
-            "G_win": dev(np.stack([g.window_vals(self.g_radius) for g in g_dias])),
-            "GT_win": dev(np.stack([g.window_vals(self.gt_radius) for g in gt_dias])),
-            "Z_win": dev(z_dia.window_vals()),
+            "G_win": dev(np.stack([g.window_vals(self.g_radius, dtype) for g in g_dias])),
+            "GT_win": dev(np.stack([g.window_vals(self.gt_radius, dtype) for g in gt_dias])),
+            "Z_win": dev(z_dia.window_vals(dtype=dtype)),
             "Z_diag": dev(permute_vec_p(np.asarray(Z.diagonal()))),
             "bc_mask": dev(permute_vec(bc_mask)),
             "bc_vel": dev(np.stack([permute_vec(bc_vel[:, d]) for d in range(3)])),
