@@ -56,15 +56,24 @@ def _identity_precond(r):
     return r
 
 
+# Smallest safe divisor: TPU f64 emulation computes the reciprocal seed in
+# f32, so dividing by anything below the f32 normal range returns NaN
+# (measured on v5e: 0.0 / 1e-300 == NaN).  Scalars this small only occur at
+# true Krylov breakdown / full convergence, where freezing is the right
+# behaviour anyway.
+_DIV_FLOOR = 1e-35
+
+
 def _safe_div(a, b):
-    """a / b with 0 where b == 0.
+    """a / b with 0 where |b| is (numerically) zero.
 
     Batched right-hand sides can contain all-zero columns (e.g. the v/w
     momentum RHS on the first symmetric cavity step); their Krylov scalars
     are 0/0 and the column must simply stay at x = 0 instead of NaN-ing
-    the whole batch.  Also freezes a column on true breakdown (rho -> 0).
+    the whole batch.  Also freezes a column on true breakdown (rho -> 0),
+    and guards the TPU subnormal-divisor NaN (see _DIV_FLOOR).
     """
-    zero = b == 0.0
+    zero = jnp.abs(b) < _DIV_FLOOR
     return jnp.where(zero, 0.0, a / jnp.where(zero, 1.0, b))
 
 
@@ -257,7 +266,7 @@ def _gmres_single(
     n = b.shape[0]
     m = restart
     bound = jnp.maximum(tol * jnp.linalg.norm(b), atol)
-    eps = jnp.finfo(b.dtype).tiny
+    eps = jnp.asarray(_DIV_FLOOR, b.dtype)  # not finfo.tiny: see _DIV_FLOOR
 
     def arnoldi_cycle(x):
         r = b - matvec(x)
@@ -278,9 +287,22 @@ def _gmres_single(
             return V, H
 
         V, H = lax.fori_loop(0, m, arnoldi_step, (V, H))
-        # least squares: min ||beta e1 - H y||
+        # least squares min ||beta e1 - H y|| via regularized normal
+        # equations: when the Krylov space converges mid-cycle the trailing
+        # Arnoldi columns are exactly zero, and TPU's SVD-based lstsq NaNs
+        # on the rank-deficient H (CPU's is robust).  The tiny Tikhonov
+        # term sends those columns' coefficients to 0 instead.
         e1 = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
-        y, *_ = jnp.linalg.lstsq(H, e1)
+        HtH = H.T @ H
+        lam = jnp.finfo(b.dtype).eps * (jnp.trace(HtH) + 1.0)
+        A_ne = HtH + lam * jnp.eye(m, dtype=b.dtype)
+        # solve the small SPD system with our own CG: TPU's dense LU/SVD
+        # only support f32, and the m x m solve is tiny
+        y = cg(
+            lambda v: A_ne @ v, H.T @ e1,
+            tol=jnp.finfo(b.dtype).eps * 100, maxiter=4 * m,
+            precond=lambda r: r / jnp.diag(A_ne),
+        ).x
         x = x + M(y @ V[:m])
         return x
 

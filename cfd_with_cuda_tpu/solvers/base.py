@@ -85,8 +85,14 @@ class ChunkedTimeLoop:
             )
         return self._compiled[n_steps]
 
-    def run(self, state=None, *, n_steps: int | None = None):
-        """Run until t_final or steady.  Returns (state, history rows)."""
+    def run(self, state=None, *, n_steps: int | None = None,
+            tecplot_path=None, tecplot_every: int = 1000):
+        """Run until t_final or steady.  Returns (state, history rows).
+
+        When ``tecplot_path`` is given, the solution is dumped in the
+        reference's cadence: every ``tecplot_every`` steps and once at
+        the end (steady or t_final; ``blascoCodinaHuerta.cpp:3097-3114``).
+        """
         deck = self.deck
         state = state if state is not None else self.initial_state()
         total = n_steps if n_steps is not None else int(
@@ -97,6 +103,7 @@ class ChunkedTimeLoop:
 
         history = []
         done_steps = 0
+        next_dump = tecplot_every
         t = deck.t_ini
         while done_steps < total:
             state, done, stats = step_fn(self.d, state)
@@ -119,6 +126,11 @@ class ChunkedTimeLoop:
                         f" {row['max_acc']:12.5f}"
                     )
             done_steps += chunk_len
+            if tecplot_path is not None and done_steps >= next_dump:
+                self.write_tecplot(state, tecplot_path)
+                next_dump += tecplot_every
             if bool(done):
                 break
+        if tecplot_path is not None:
+            self.write_tecplot(state, tecplot_path)
         return state, history

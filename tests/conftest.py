@@ -24,6 +24,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# The axon sitecustomize imports jax at interpreter start, so the env vars
+# above can be too late; the config update below still wins as long as no
+# backend has been initialised yet.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,91 @@
+"""Converter tests: synthetic .neu / .unv files round-trip into decks."""
+
+import numpy as np
+
+from cfd_with_cuda_tpu.mesh.converters import deck_from_mesh, read_neu, read_unv
+from cfd_with_cuda_tpu.mesh.generators import cube_hex_mesh
+
+
+def _write_neu(path, coords, conn, bc):
+    """Minimal Gambit neutral file with one node-typed BC group."""
+    out = []
+    out.append("        CONTROL INFO 2.4.6")
+    out.append("** GAMBIT NEUTRAL FILE")
+    out.append("test mesh")
+    out.append("PROGRAM:                Gambit     VERSION:  2.4.6")
+    out.append(" today")
+    out.append("     NUMNP     NELEM     NGRPS    NBSETS     NDFCD     NDFVL")
+    out.append(f"{len(coords):10d}{len(conn):10d}{1:10d}{1:10d}{3:10d}{3:10d}")
+    out.append("ENDOFSECTION")
+    out.append("   NODAL COORDINATES 2.4.6")
+    for i, (x, y, z) in enumerate(coords):
+        out.append(f"{i + 1:10d}{x:20.11e}{y:20.11e}{z:20.11e}")
+    out.append("ENDOFSECTION")
+    out.append("      ELEMENTS/CELLS 2.4.6")
+    for e, row in enumerate(conn):
+        nodes = "".join(f"{v + 1:8d}" for v in row)
+        out.append(f"{e + 1:8d} {4:2d} {len(row):2d} {nodes}")
+    out.append("ENDOFSECTION")
+    out.append("       BOUNDARY CONDITIONS 2.4.6")
+    out.append(f"{'inlet':>32s}{0:8d}{len(bc):8d}{0:8d}{6:8d}")
+    for nid in bc:
+        out.append(f"{nid + 1:10d}")
+    out.append("ENDOFSECTION")
+    path.write_text("\n".join(out))
+
+
+def test_neu_roundtrip(tmp_path):
+    coords, conn = cube_hex_mesh(3)
+    inlet = np.flatnonzero(np.isclose(coords[:, 0], 0.0))
+    p = tmp_path / "m.neu"
+    _write_neu(p, coords, conn, inlet)
+    c2, k2, groups = read_neu(p)
+    np.testing.assert_allclose(c2, coords, atol=1e-9)
+    np.testing.assert_array_equal(k2, conn)
+    np.testing.assert_array_equal(groups["inlet"], inlet)
+
+    deck = deck_from_mesh(
+        c2, k2, groups,
+        bc_table=[(1.0, (1.0, 0.0, 0.0))],
+        group_bc={"inlet": 0},
+    )
+    assert deck.ne == len(conn) and deck.nn == len(coords)
+    assert len(deck.bc_vel_nodes) == len(inlet)
+
+
+def _write_unv(path, coords, conn, group):
+    out = ["    -1", "  2411"]
+    for i, (x, y, z) in enumerate(coords):
+        out.append(f"{i + 1:10d}{1:10d}{1:10d}{11:10d}")
+        out.append(f"  {x:.16e}  {y:.16e}  {z:.16e}")
+    out.append("    -1")
+    out.append("    -1")
+    out.append("  2412")
+    for e, row in enumerate(conn):
+        out.append(f"{e + 1:10d}{111:10d}{2:10d}{1:10d}{7:10d}{len(row):10d}")
+        out.append("".join(f"{v + 1:10d}" for v in row))
+    out.append("    -1")
+    out.append("    -1")
+    out.append("  2467")
+    out.append(f"{1:10d}{0:10d}{0:10d}{0:10d}{0:10d}{0:10d}{0:10d}{len(group):10d}")
+    out.append("wall")
+    for k in range(0, len(group), 2):
+        chunk = group[k:k + 2]
+        out.append("".join(f"{7:10d}{v + 1:10d}{0:10d}{0:10d}" for v in chunk))
+    out.append("    -1")
+    path.write_text("\n".join(out))
+
+
+def test_unv_roundtrip(tmp_path):
+    # simple 2-tet mesh
+    coords = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 1]], dtype=float
+    )
+    conn = np.array([[0, 1, 2, 3], [1, 2, 3, 4]])
+    group = np.array([0, 1, 4])
+    p = tmp_path / "m.unv"
+    _write_unv(p, coords, conn, group)
+    c2, k2, groups = read_unv(p)
+    np.testing.assert_allclose(c2, coords, atol=1e-12)
+    np.testing.assert_array_equal(k2, conn)
+    np.testing.assert_array_equal(groups["wall"], group)

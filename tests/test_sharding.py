@@ -1,0 +1,59 @@
+"""Multi-chip SPMD: sharded execution must reproduce single-device physics.
+
+Runs on the virtual 8-device CPU mesh (conftest forces
+``xla_force_host_platform_device_count=8``).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
+)
+def test_sharded_step_matches_single_device():
+    from cfd_with_cuda_tpu.mesh.generators import cavity_deck
+    from cfd_with_cuda_tpu.parallel.sharding import (
+        make_mesh,
+        shard_params,
+        shard_state,
+    )
+    from cfd_with_cuda_tpu.solvers.explicit_bch import ExplicitBCHSolver
+    from cfd_with_cuda_tpu.utils.config import DTypePolicy, SolverConfig
+
+    deck = cavity_deck(3, viscosity=0.1, dt=0.005)
+    cfg = SolverConfig(
+        dtype_policy=DTypePolicy.F64, pressure_cg_tol=1e-12,
+        steps_per_chunk=1, shard_pad=8,
+    )
+    solver = ExplicitBCHSolver(deck, cfg)
+    fn = jax.jit(solver._chunk_fn(1))
+
+    # single-device
+    s0 = solver.initial_state()
+    s1, _, st1 = fn(solver.d, s0)
+    s2, _, st2 = fn(solver.d, s1)
+
+    # sharded over the fine-grid axis
+    mesh = make_mesh(8)
+    params = shard_params(solver.d, mesh, (solver.s_pad,))
+    ss = shard_state(solver.initial_state(), mesh, (solver.s_pad,))
+    ss, _, _ = fn(params, ss)
+    ss, _, st2s = fn(params, ss)
+
+    np.testing.assert_allclose(
+        np.asarray(s2.un), np.asarray(ss.un), atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(s2.pn), np.asarray(ss.pn), atol=1e-10
+    )
+    assert float(st2.u_mon[0]) == pytest.approx(float(st2s.u_mon[0]), abs=1e-12)
+
+
+def test_make_mesh_rejects_oversubscription():
+    from cfd_with_cuda_tpu.parallel.sharding import make_mesh
+
+    with pytest.raises(ValueError, match="devices are"):
+        make_mesh(10_000)
