@@ -41,9 +41,16 @@ def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
-def _spec_for(arr, big_axes: tuple[int, ...], axis_name: str):
-    """Shard the last axis iff it is one of the 'big' sizes."""
+def _spec_for(arr, big_axes: tuple[int, ...], axis_name: str, n_shards: int):
+    """Shard the last axis iff it is one of the 'big' sizes.
+
+    Axes not divisible by the mesh size stay replicated (``device_put``
+    rejects uneven shards); solvers pad their primary grid axis to a
+    ``shard_pad`` multiple so the hot arrays always qualify.
+    """
     if arr.ndim == 0 or arr.shape[-1] not in big_axes:
+        return P()
+    if arr.shape[-1] % n_shards != 0:
         return P()
     return P(*([None] * (arr.ndim - 1) + [axis_name]))
 
@@ -52,17 +59,20 @@ def shard_params(params: dict, mesh: Mesh, big_axes: tuple[int, ...],
                  axis: str = "shard") -> dict:
     """device_put every param with last-axis sharding when it carries a
     node/element/grid axis (sizes listed in ``big_axes``)."""
+    n = mesh.devices.size
     out = {}
     for k, v in params.items():
-        spec = _spec_for(v, big_axes, axis)
+        spec = _spec_for(v, big_axes, axis, n)
         out[k] = jax.device_put(v, NamedSharding(mesh, spec))
     return out
 
 
 def shard_state(state, mesh: Mesh, big_axes: tuple[int, ...], axis: str = "shard"):
     """Shard a solver state pytree the same way."""
+    n = mesh.devices.size
+
     def put(v):
-        spec = _spec_for(v, big_axes, axis)
+        spec = _spec_for(v, big_axes, axis, n)
         return jax.device_put(v, NamedSharding(mesh, spec))
 
     return jax.tree.map(put, state)

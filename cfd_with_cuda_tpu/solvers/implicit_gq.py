@@ -124,6 +124,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             self.dt = float(deck.dt)
             self._momentum_solver = solver_by_name(cfg.momentum_solver)
             return
+        self.s_pad = mesh.nn
 
         mk_ell = ell_from_csr(pat, values=mk_vals)
         m_ell = ell_from_csr(pat, values=ops.M)
@@ -241,17 +242,26 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         self.chan_order = order
         self.local_off = tuple((int(x), int(y), int(z)) for x, y, z in local[order])
 
-        # elemental (channel_i, channel_j, grid_elem) -> DIA flat slot
+        # sharding pad: the fine-grid axis is zero-padded to a multiple of
+        # shard_pad so multi-chip device_put can split it evenly (padding
+        # rows carry zero operator values + unit diagonal -> no-op rows)
+        S = gi.size
+        pad = max(1, int(self.config.shard_pad))
+        self.s_pad = -(-S // pad) * pad
+        n_off = mk_dia.vals.shape[0]
+
+        # elemental (channel_i, channel_j, grid_elem) -> DIA flat slot,
+        # remapped from the (n_off, S) to the padded (n_off, s_pad) layout
         nnz_slots = np.asarray(slots)
+        nnz_slots = (nnz_slots // S) * self.s_pad + nnz_slots % S
         scatter = nnz_slots[pat.scatter]                 # (NE, a, b) deck order
         scatter = scatter[:, order][:, :, order]         # channel-ordered locals
         scatter_g = np.empty_like(scatter)
         scatter_g[elem_perm] = scatter                   # element-grid order
         scatter_g = np.transpose(scatter_g, (1, 2, 0))   # (a, b, NE)
 
-        S = gi.size
-        self._dia_nslots = mk_dia.vals.size
-        self._dia_shape = mk_dia.vals.shape
+        self._dia_nslots = n_off * self.s_pad
+        self._dia_shape = (n_off, self.s_pad)
 
         def permute_vec(v):
             out = np.empty_like(v)
@@ -274,10 +284,10 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         Sv_t = self.tables.Sv[:, order]
 
         dev = lambda x: jnp.asarray(x, dtype=dtype)
-        row_ids = np.repeat(np.arange(mesh.nn), np.diff(pat.indptr))
         bc_mask = np.where(is_bc, 0.0, 1.0)
-        diag_add = np.zeros(S)
+        diag_add = np.zeros(self.s_pad)
         diag_add[perm[is_bc]] = 1.0
+        diag_add[S:] = 1.0     # padding rows -> identity (keeps Jacobi finite)
 
         self.d = {
             "Sv": dev(Sv_t),
@@ -295,6 +305,13 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             "bc_mask": dev(permute_vec(bc_mask)),
             "bc_vel": dev(np.stack([permute_vec(bc_vel[:, d]) for d in range(3)])),
         }
+        if self.s_pad > S:
+            extra = self.s_pad - S
+            for key in list(self.d):
+                v = self.d[key]
+                if v.ndim >= 1 and v.shape[-1] == S:
+                    widths = [(0, 0)] * (v.ndim - 1) + [(0, extra)]
+                    self.d[key] = jnp.pad(v, widths)
         self.pin_grid = int(perm_p[self.pin]) if self.pin > 0 else -1
         mon = find_monitor_node(
             deck.coords,
@@ -314,7 +331,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         u = np.asarray(u).T.copy()
         p = np.asarray(p).copy()
         if self.structured:
-            ug = np.empty_like(u)
+            ug = np.zeros((3, self.s_pad), dtype=u.dtype)
             ug[:, self.perm] = u
             pg = np.empty_like(p)
             pg[self.perm_p] = p
@@ -345,9 +362,11 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         cfg = self.config
         dt = self.dt
         uk_prev, pk_prev, pk_prevprev = state
+        S = int(np.prod(self.fine_dims))      # real fine-grid size (<= s_pad)
+        pad_u = lambda y: jnp.pad(y, ((0, 0), (0, self.s_pad - S)))
 
         # A = M/dt + K + A(u^k): convection assembled into DIA value slots
-        u0_e = gather_elem_stencil(uk_prev, self.elem_dims, self.fine_dims)
+        u0_e = gather_elem_stencil(uk_prev[:, :S], self.elem_dims, self.fine_dims)
         u0_gq = jnp.einsum("ki,die->dke", d["Sv"], u0_e)
         udotg = jnp.einsum("dke,djke->jke", u0_gq, d["gDSv"])
         ae = jnp.einsum("ki,ke,jke->ije", d["Sv"], d["gq"], udotg)
@@ -362,9 +381,10 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         # RHS = (M/dt) u^k - G (2 p^k - p^{k-1}); BC rows = BC values
         pdiff2 = 2.0 * pk_prev - pk_prevprev
         r1 = dia_spmv(d["M_vals"], uk_prev, self.a_offsets)
-        r1 = r1 - patches_grad_apply(
-            d["G_win"], pdiff2, self.coarse_dims, self.fine_dims, self.g_radius
-        )
+        r1 = r1 - pad_u(patches_grad_apply(
+            d["G_win"][..., :S], pdiff2, self.coarse_dims, self.fine_dims,
+            self.g_radius,
+        ))
         r1 = r1 * d["bc_mask"][None, :] + d["bc_vel"]
 
         mom = self._momentum_solver(
@@ -378,7 +398,8 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         uk = mom.x
 
         r2 = (-1.0 / dt) * patches_div_apply(
-            d["GT_win"], uk, self.coarse_dims, self.fine_dims, self.gt_radius
+            d["GT_win"][..., :S], uk[:, :S], self.coarse_dims, self.fine_dims,
+            self.gt_radius,
         )
         if self.pin_grid > 0:
             r2 = r2.at[self.pin_grid].set(0.0)

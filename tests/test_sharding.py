@@ -52,6 +52,46 @@ def test_sharded_step_matches_single_device():
     assert float(st2.u_mon[0]) == pytest.approx(float(st2s.u_mon[0]), abs=1e-12)
 
 
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
+)
+def test_sharded_implicit_step_matches_single_device():
+    """The hard SPMD case: per-step segment-sum LHS assembly into DIA
+    slots crossing shard boundaries (GSPMD inserts the reduction)."""
+    from cfd_with_cuda_tpu.mesh.generators import cavity_deck
+    from cfd_with_cuda_tpu.parallel.sharding import (
+        make_mesh,
+        shard_params,
+        shard_state,
+    )
+    from cfd_with_cuda_tpu.solvers.implicit_gq import ImplicitGQSolver
+    from cfd_with_cuda_tpu.utils.config import DTypePolicy, SolverConfig
+
+    deck = cavity_deck(4, viscosity=0.1, dt=0.005)
+    cfg = SolverConfig(
+        dtype_policy=DTypePolicy.F64, pressure_cg_tol=1e-12,
+        steps_per_chunk=1, shard_pad=8,
+    )
+    solver = ImplicitGQSolver(deck, cfg)
+    assert solver.structured and solver.s_pad > 9 ** 3  # padding is active
+    fn = jax.jit(solver._chunk_fn(1))
+
+    s0 = solver.initial_state()
+    s1, _, _ = fn(solver.d, s0)
+    s2, _, st2 = fn(solver.d, s1)
+
+    mesh = make_mesh(8)
+    big = (solver.s_pad, int(solver.d["gq"].shape[-1]))
+    params = shard_params(solver.d, mesh, big)
+    ss = shard_state(solver.initial_state(), mesh, big)
+    ss, _, _ = fn(params, ss)
+    ss, _, st2s = fn(params, ss)
+
+    np.testing.assert_allclose(np.asarray(s2.uk), np.asarray(ss.uk), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(s2.pk), np.asarray(ss.pk), atol=1e-9)
+    assert float(st2.u_mon[0]) == pytest.approx(float(st2s.u_mon[0]), abs=1e-11)
+
+
 def test_make_mesh_rejects_oversubscription():
     from cfd_with_cuda_tpu.parallel.sharding import make_mesh
 
