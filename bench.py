@@ -51,10 +51,15 @@ def main():
 
     # f32 speed mode at the reference's GPU-path tolerances
     # (CUSP CG rel 1e-6, CUDAcodes.cu:433-442).
+    from cfd_with_cuda_tpu.utils.setup_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     cfg = SolverConfig(
         dtype_policy=DTypePolicy.F32,
         pressure_cg_tol=1e-6,
         steps_per_chunk=10,
+        setup_cache="auto",
     )
     t0 = time.time()
     solver = ExplicitBCHSolver(deck, cfg)

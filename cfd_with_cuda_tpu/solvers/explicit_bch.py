@@ -81,11 +81,32 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         self.config = config or SolverConfig()
         self._setup()
 
+    # attributes snapshotted by the on-disk setup cache (utils/setup_cache)
+    _SNAP_ATTRS = (
+        "nn", "nnp", "pin", "dt", "structured", "elem_structured", "perm",
+        "perm_p", "fine_dims", "coarse_dims", "elem_dims", "chan_order",
+        "local_off", "k_offsets", "z_radius", "g_radius", "gt_radius",
+        "s_pad", "pin_grid", "monitor_node", "monitor_node_deck",
+        "bc_of_node",
+    )
+
     # ------------------------------------------------------------------ setup
     def _setup(self) -> None:
         deck = self.deck
         cfg = self.config
         dtype = cfg.jnp_dtype()
+
+        from cfd_with_cuda_tpu.utils import setup_cache as sc
+
+        cache_dir = cfg.setup_cache_dir()
+        cache_key = None
+        if cache_dir:
+            cache_key = sc.deck_fingerprint(deck, cfg, type(self).__name__)
+            snap = sc.snapshot_load(cache_dir, cache_key)
+            if snap is not None:
+                sc.solver_restore(self, snap)
+                self._compiled = {}
+                return
 
         mesh = promote_hex_mesh(deck.conn, deck.coords)
         self.mesh = mesh
@@ -136,7 +157,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             if self.config.structured == "force" and not self.structured:
                 raise ValueError("structured mode forced but mesh is not a box grid")
 
-        dev = lambda x: jnp.asarray(x, dtype=dtype)
+        dev = lambda x: np.asarray(x, dtype=dtype)
         if not self.structured:
             k_ell = ell_from_csr(ops.pattern_m, values=ops.K)
             g_ells = [ell_from_csr(ops.pattern_g, values=ops.G[d]) for d in range(3)]
@@ -159,18 +180,18 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             # — see ops/spmv.py.  Fields are (3, NN); element tables
             # NE-minor; ELL operators slot-major (L, N).
             self.d = {
-                "ltog": jnp.asarray(mesh.ltog_node.T, dtype=jnp.int32),
+                "ltog": np.asarray(mesh.ltog_node.T, dtype=np.int32),
                 "Sv": dev(tab.Sv),
                 "gDSv": dev(np.transpose(tab.gDSv, (3, 2, 1, 0))),
                 "gq": dev(tab.gq_factor.T),
                 "K_vals": dev(k_ell.vals),
-                "K_cols": jnp.asarray(k_ell.cols),
+                "K_cols": np.asarray(k_ell.cols),
                 "G_vals": dev(np.stack([g.vals for g in g_ells])),
-                "G_cols": jnp.asarray(g_ells[0].cols),
+                "G_cols": np.asarray(g_ells[0].cols),
                 "GT_vals": dev(np.stack([g.vals for g in gt_ells])),
-                "GT_cols": jnp.asarray(gt_ells[0].cols),
+                "GT_cols": np.asarray(gt_ells[0].cols),
                 "Z_vals": dev(z_ell.vals),
-                "Z_cols": jnp.asarray(z_ell.cols),
+                "Z_cols": np.asarray(z_ell.cols),
                 "Z_diag": dev(Z.diagonal()),
                 "md_inv": dev(md_inv),
                 "md_orig_inv": dev(md_orig_inv),
@@ -185,6 +206,12 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             self.s_pad = self.nn
         self.dt = float(deck.dt)
         self._compiled = {}
+        if cache_dir:
+            sc.snapshot_store(
+                cache_dir, cache_key, sc.solver_snapshot(self, self._SNAP_ATTRS)
+            )
+        # one host->device transfer at the end (setup + snapshot stay numpy)
+        self.d = {k: jnp.asarray(v) for k, v in self.d.items()}
 
     def _try_structured(self, mesh, ops, Z, is_bc, bc_vel, md_inv, md_orig_inv):
         """Build the DIA operator set if the mesh is a box grid."""
@@ -267,7 +294,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             out[perm_p] = v
             return out
 
-        dev = lambda x: jnp.asarray(x, dtype=dtype)
+        dev = lambda x: np.asarray(x, dtype=dtype)
         z_diag = permute_vec_p(np.asarray(Z.diagonal()))
         gDSv_t = np.transpose(self.tables.gDSv, (3, 2, 1, 0))
         gq_t = self.tables.gq_factor.T
@@ -281,7 +308,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             gDSv_t, gq_t = g2[:, self.chan_order], q2
             Sv_t = Sv_t[:, self.chan_order]
         self.d = {
-            "ltog": jnp.asarray(perm[mesh.ltog_node].T, dtype=jnp.int32),
+            "ltog": np.asarray(perm[mesh.ltog_node].T, dtype=np.int32),
             "Sv": dev(Sv_t),
             "gDSv": dev(gDSv_t),
             "gq": dev(gq_t),
@@ -306,7 +333,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                 v = self.d[key]
                 if v.ndim >= 1 and v.shape[-1] == S and key not in ("ltog",):
                     widths = [(0, 0)] * (v.ndim - 1) + [(0, extra)]
-                    self.d[key] = jnp.pad(v, widths)
+                    self.d[key] = np.pad(v, widths)
         self.pin_grid = int(perm_p[self.pin]) if self.pin > 0 else -1
         mon = find_monitor_node(
             deck.coords,

@@ -64,10 +64,31 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         self.config = config or SolverConfig()
         self._setup()
 
+    # attributes snapshotted by the on-disk setup cache (utils/setup_cache)
+    _SNAP_ATTRS = (
+        "nn", "nnp", "pin", "dt", "structured", "elem_structured", "perm",
+        "perm_p", "fine_dims", "coarse_dims", "elem_dims", "chan_order",
+        "local_off", "a_offsets", "a_zero_off", "z_radius", "g_radius",
+        "gt_radius", "_dia_nslots", "_dia_shape", "_ell_shape", "_nnz",
+        "s_pad", "pin_grid", "monitor_node",
+    )
+
     def _setup(self) -> None:
         deck = self.deck
         cfg = self.config
         dtype = cfg.jnp_dtype()
+
+        from cfd_with_cuda_tpu.utils import setup_cache as sc
+
+        cache_dir = cfg.setup_cache_dir()
+        cache_key = None
+        if cache_dir:
+            cache_key = sc.deck_fingerprint(deck, cfg, type(self).__name__)
+            snap = sc.snapshot_load(cache_dir, cache_key)
+            if snap is not None:
+                sc.solver_restore(self, snap)
+                self._momentum_solver = solver_by_name(cfg.momentum_solver)
+                return
 
         mesh = promote_hex_mesh(deck.conn, deck.coords)
         self.mesh = mesh
@@ -123,6 +144,12 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         if self.structured:
             self.dt = float(deck.dt)
             self._momentum_solver = solver_by_name(cfg.momentum_solver)
+            if cache_dir:
+                sc.snapshot_store(
+                    cache_dir, cache_key,
+                    sc.solver_snapshot(self, self._SNAP_ATTRS),
+                )
+            self.d = {k: jnp.asarray(v) for k, v in self.d.items()}
             return
         self.s_pad = mesh.nn
 
@@ -144,29 +171,29 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             Z.data, n_cols=self.nnp,
         )
 
-        dev = lambda x: jnp.asarray(x, dtype=dtype)
+        dev = lambda x: np.asarray(x, dtype=dtype)
         self.d = {
-            "ltog": jnp.asarray(mesh.ltog_node.T, dtype=jnp.int32),
+            "ltog": np.asarray(mesh.ltog_node.T, dtype=np.int32),
             "Sv": dev(tab.Sv),
             "gDSv": dev(np.transpose(tab.gDSv, (3, 2, 1, 0))),
             "gq": dev(tab.gq_factor.T),
-            "scatter_m": jnp.asarray(np.transpose(pat.scatter, (1, 2, 0)), dtype=jnp.int32),
+            "scatter_m": np.asarray(np.transpose(pat.scatter, (1, 2, 0)), dtype=np.int32),
             "mk_vals_csr": dev(mk_vals),
             "m_vals": dev(m_ell.vals),
             "row_mask": dev(row_mask),
             "diag_add": dev(diag_add),
-            "csr_to_ell": jnp.asarray(mk_ell.csr_to_ell),
-            "A_cols": jnp.asarray(mk_ell.cols),
+            "csr_to_ell": np.asarray(mk_ell.csr_to_ell),
+            "A_cols": np.asarray(mk_ell.cols),
             "G_vals": dev(np.stack([g.vals for g in g_ells])),
-            "G_cols": jnp.asarray(g_ells[0].cols),
+            "G_cols": np.asarray(g_ells[0].cols),
             "GT_vals": dev(np.stack([g.vals for g in gt_ells])),
-            "GT_cols": jnp.asarray(gt_ells[0].cols),
+            "GT_cols": np.asarray(gt_ells[0].cols),
             "Z_vals": dev(z_ell.vals),
-            "Z_cols": jnp.asarray(z_ell.cols),
+            "Z_cols": np.asarray(z_ell.cols),
             "Z_diag": dev(Z.diagonal()),
             "bc_mask": dev(np.where(is_bc, 0.0, 1.0)),
             "bc_vel": dev(bc_vel.T),
-            "diag_slots": jnp.asarray(diag_all_slots),
+            "diag_slots": np.asarray(diag_all_slots),
         }
         self._ell_shape = mk_ell.vals.shape
         self._nnz = nnz
@@ -175,6 +202,12 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         )
         self.dt = float(deck.dt)
         self._momentum_solver = solver_by_name(cfg.momentum_solver)
+        if cache_dir:
+            sc.snapshot_store(
+                cache_dir, cache_key, sc.solver_snapshot(self, self._SNAP_ATTRS)
+            )
+        # one host->device transfer at the end (setup + snapshot stay numpy)
+        self.d = {k: jnp.asarray(v) for k, v in self.d.items()}
 
     def _try_structured(self, mesh, ops, Z, is_bc, bc_vel, mk_vals, pat):
         """DIA operators + per-step device assembly maps for a box grid."""
@@ -283,7 +316,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         gq_t = q2
         Sv_t = self.tables.Sv[:, order]
 
-        dev = lambda x: jnp.asarray(x, dtype=dtype)
+        dev = lambda x: np.asarray(x, dtype=dtype)
         bc_mask = np.where(is_bc, 0.0, 1.0)
         diag_add = np.zeros(self.s_pad)
         diag_add[perm[is_bc]] = 1.0
@@ -293,7 +326,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             "Sv": dev(Sv_t),
             "gDSv": dev(gDSv_t),
             "gq": dev(gq_t),
-            "scatter_dia": jnp.asarray(scatter_g, dtype=jnp.int32),
+            "scatter_dia": np.asarray(scatter_g, dtype=np.int32),
             "MK_vals": dev(mk_dia.vals),
             "M_vals": dev(m_dia.vals),
             "row_mask_grid": dev(permute_vec(bc_mask)),
@@ -311,7 +344,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
                 v = self.d[key]
                 if v.ndim >= 1 and v.shape[-1] == S:
                     widths = [(0, 0)] * (v.ndim - 1) + [(0, extra)]
-                    self.d[key] = jnp.pad(v, widths)
+                    self.d[key] = np.pad(v, widths)
         self.pin_grid = int(perm_p[self.pin]) if self.pin > 0 else -1
         mon = find_monitor_node(
             deck.coords,

@@ -69,8 +69,19 @@ class SolverConfig:
     # size, and odd box grids ((2n+1)^3) never are.  Padding slots carry
     # zero operator values, so results are bit-identical.
     shard_pad: int = 1
+    # On-disk setup cache: "auto" -> $CFD_TPU_CACHE_DIR or <repo>/.cache/
+    # setup; a path -> that dir; None -> disabled (tests default to this
+    # via conftest to avoid stale-snapshot surprises).
+    setup_cache: str | None = None
     # Print per-step monitor rows like the reference's monitor table.
     verbose: bool = False
+
+    def setup_cache_dir(self) -> str | None:
+        if self.setup_cache == "auto":
+            from cfd_with_cuda_tpu.utils.setup_cache import default_cache_dir
+
+            return default_cache_dir()
+        return self.setup_cache or None
 
     def jnp_dtype(self):
         import jax.numpy as jnp
