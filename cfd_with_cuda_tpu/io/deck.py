@@ -82,6 +82,10 @@ class Deck:
     zero_pressure_node: int = -1
     monitor_xyz: np.ndarray | None = None
     monitor_points: np.ndarray | None = None
+    # provenance: where the deck was read from (None for generated decks);
+    # anchors the `<title>_restart.dat` auto-load next to the deck file
+    # (ref readRestartFile, blascoCodinaHuerta.cpp:2793-2799)
+    source_path: str | None = None
 
     @property
     def nnp(self) -> int:
@@ -137,12 +141,15 @@ def read_deck(path: str | Path) -> Deck:
     fields = _header_fields(text)
 
     if "nen" in fields and "nenv" not in fields:
-        return _read_poisson(lines, fields)
-    if "maxiter" in fields:
-        return _read_fractional(lines, fields)
-    if "itermax" in fields:
-        return _read_legacy(lines, fields)
-    raise ValueError(f"cannot identify deck dialect of {path}")
+        deck = _read_poisson(lines, fields)
+    elif "maxiter" in fields:
+        deck = _read_fractional(lines, fields)
+    elif "itermax" in fields:
+        deck = _read_legacy(lines, fields)
+    else:
+        raise ValueError(f"cannot identify deck dialect of {path}")
+    deck.source_path = str(path)
+    return deck
 
 
 def _read_fractional(lines: list[str], fields: dict[str, str]) -> Deck:

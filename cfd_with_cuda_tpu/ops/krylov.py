@@ -176,7 +176,11 @@ def bicg(
 ) -> KrylovResult:
     """BiConjugate gradient (general systems; needs A^T matvec).
 
-    When ``rmatvec`` is omitted the operator is assumed symmetric.
+    When ``rmatvec`` is omitted the operator is ASSUMED SYMMETRIC (the
+    shadow recursion collapses onto CG).  For nonsymmetric systems the
+    caller must pass the real transpose apply — ``ops.linsolve`` does
+    this automatically from a host CSR matrix (the reference's CUSP BiCG
+    uses A^T internally, ``oldFiles/segregatedSolver/CUSP_BiCG.cu:60``).
     """
     M = precond or _identity_precond
     At = rmatvec or matvec
@@ -261,7 +265,15 @@ def bicgstab(
 def _gmres_single(
     matvec, b, x0, *, tol, atol, maxiter, restart, precond
 ) -> KrylovResult:
-    """Restarted GMRES on a single (N,) system, right-preconditioned."""
+    """Restarted GMRES on a single (N,) system, right-preconditioned.
+
+    The small Hessenberg least-squares problem is solved incrementally
+    with Givens rotations (the standard Saad formulation): each Arnoldi
+    column is rotated into the upper-triangular factor as it is produced.
+    This keeps the Hessenberg conditioning (normal equations square it)
+    and yields the running residual norm for free as ``|g[j+1]|`` — and
+    it never touches TPU's f32-only dense LU/SVD.
+    """
     M = precond or _identity_precond
     n = b.shape[0]
     m = restart
@@ -272,10 +284,14 @@ def _gmres_single(
         r = b - matvec(x)
         beta = jnp.linalg.norm(r)
         V = jnp.zeros((m + 1, n), b.dtype).at[0].set(r / jnp.maximum(beta, eps))
-        H = jnp.zeros((m + 1, m), b.dtype)
+        # Rcols[j] = column j of the rotated (triangular) Hessenberg factor
+        Rcols = jnp.zeros((m, m + 1), b.dtype)
+        cs = jnp.ones(m, b.dtype)     # identity rotations until defined
+        sn = jnp.zeros(m, b.dtype)
+        g = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
 
         def arnoldi_step(j, carry):
-            V, H = carry
+            V, Rcols, cs, sn, g = carry
             w = matvec(M(V[j]))
             # modified Gram-Schmidt against all basis vectors (masked)
             mask = (jnp.arange(m + 1) <= j).astype(b.dtype)
@@ -283,26 +299,41 @@ def _gmres_single(
             w = w - h @ V
             hj1 = jnp.linalg.norm(w)
             V = V.at[j + 1].set(w / jnp.maximum(hj1, eps))
-            H = H.at[:, j].set(h).at[j + 1, j].set(hj1)
-            return V, H
+            h = h.at[j + 1].set(hj1)
 
-        V, H = lax.fori_loop(0, m, arnoldi_step, (V, H))
-        # least squares min ||beta e1 - H y|| via regularized normal
-        # equations: when the Krylov space converges mid-cycle the trailing
-        # Arnoldi columns are exactly zero, and TPU's SVD-based lstsq NaNs
-        # on the rank-deficient H (CPU's is robust).  The tiny Tikhonov
-        # term sends those columns' coefficients to 0 instead.
-        e1 = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
-        HtH = H.T @ H
-        lam = jnp.finfo(b.dtype).eps * (jnp.trace(HtH) + 1.0)
-        A_ne = HtH + lam * jnp.eye(m, dtype=b.dtype)
-        # solve the small SPD system with our own CG: TPU's dense LU/SVD
-        # only support f32, and the m x m solve is tiny
-        y = cg(
-            lambda v: A_ne @ v, H.T @ e1,
-            tol=jnp.finfo(b.dtype).eps * 100, maxiter=4 * m,
-            precond=lambda r: r / jnp.diag(A_ne),
-        ).x
+            # apply the previously defined rotations 0..j-1 to column j
+            def rot(i, hv):
+                hi, hi1 = hv[i], hv[i + 1]
+                return (
+                    hv.at[i].set(cs[i] * hi + sn[i] * hi1)
+                    .at[i + 1].set(-sn[i] * hi + cs[i] * hi1)
+                )
+
+            h = lax.fori_loop(0, j, rot, h)
+            # new rotation annihilating the subdiagonal h[j+1]
+            denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+            small = denom < eps       # happy breakdown / converged column
+            c = jnp.where(small, 1.0, h[j] / jnp.maximum(denom, eps))
+            s = jnp.where(small, 0.0, h[j + 1] / jnp.maximum(denom, eps))
+            cs = cs.at[j].set(c)
+            sn = sn.at[j].set(s)
+            h = h.at[j].set(c * h[j] + s * h[j + 1]).at[j + 1].set(0.0)
+            g = g.at[j + 1].set(-s * g[j]).at[j].set(c * g[j])
+            Rcols = Rcols.at[j].set(h)
+            return V, Rcols, cs, sn, g
+
+        V, Rcols, cs, sn, g = lax.fori_loop(
+            0, m, arnoldi_step, (V, Rcols, cs, sn, g)
+        )
+
+        # back substitution T y = g[:m] where T[i, j] = Rcols[j, i]
+        # (column j is zero below row j, so the full dot needs no mask)
+        def back(i_, y):
+            i = m - 1 - i_
+            num = g[i] - jnp.dot(Rcols[:, i], y)
+            return y.at[i].set(_safe_div(num, Rcols[i, i]))
+
+        y = lax.fori_loop(0, m, back, jnp.zeros(m, b.dtype))
         x = x + M(y @ V[:m])
         return x
 

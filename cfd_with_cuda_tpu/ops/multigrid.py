@@ -10,8 +10,10 @@ in-graph:
 
 * **Setup (host, scipy):** trilinear prolongation P per level as a kron
   of 1-D stencils; ``Z_{l+1} = P^T Z_l P``.  Linear interpolation keeps
-  the 27-point (radius-1) stencil closed under RAP, so every level stays
-  a ``patches_spmv`` window operator.  The coarsest level (< ~100 nodes)
+  the stencil radius bounded (radius-1 operators stay radius-1; the
+  explicit solver's ``Z = G^T Md^{-1} G`` is radius-2/125-point and its
+  Galerkin ladder stays within radius 2), so every level remains a
+  ``patches_spmv`` window operator.  The coarsest level (< ~100 nodes)
   is inverted densely once.
 * **Device (XLA):** smoothing = weighted Jacobi on the window stencil;
   restriction = one stride-2 3-D convolution with the fixed trilinear
@@ -79,23 +81,26 @@ def build_mg_hierarchy(
 ) -> dict:
     """Galerkin ladder from the grid-ordered fine operator.
 
-    Returns ``{"wins": [(27, S_l)...], "diags": [(S_l,)...],
-    "dims": [(sx,sy,sz)...], "zinv": (S_last, S_last)}`` — numpy arrays
-    ready to join a solver's device dict.
+    Returns ``{"wins": [(W_l^3, S_l)...], "diags": [(S_l,)...],
+    "dims": [(sx,sy,sz)...], "radii": [r_l...], "zinv": (S_last, S_last)}``
+    — numpy arrays ready to join a solver's device dict.
     """
     from cfd_with_cuda_tpu.fem.structured import dia_from_csr
 
-    wins, diags, dim_list = [], [], []
+    wins, diags, dim_list, radii, omegas = [], [], [], [], []
     Z = Z_grid.tocsr()
     cur = dims
     for _ in range(max_levels):
         size = cur[0] * cur[1] * cur[2]
         if size <= min_size or min(cur) < 5:
             break
-        op = dia_from_csr(Z, np.arange(size), np.arange(size), cur, max_radius=1)
-        assert op is not None, "MG level stencil exceeded radius 1"
-        wins.append(op.window_vals(1, dtype))
-        diags.append(np.asarray(Z.diagonal(), dtype=dtype))
+        op = dia_from_csr(Z, np.arange(size), np.arange(size), cur, max_radius=2)
+        assert op is not None, "MG level stencil exceeded radius 2"
+        wins.append(op.window_vals(op.radius, dtype))
+        radii.append(op.radius)
+        diag = np.asarray(Z.diagonal())
+        diags.append(diag.astype(dtype))
+        omegas.append(_safe_jacobi_omega(Z, diag))
         dim_list.append(cur)
         P = _prolong_3d(cur)
         Z = (P.T @ Z @ P).tocsr()
@@ -103,7 +108,32 @@ def build_mg_hierarchy(
         cur = tuple(-(-c // 2) for c in cur)
     dim_list.append(cur)
     zinv = np.linalg.inv(Z.toarray()).astype(dtype)
-    return {"wins": wins, "diags": diags, "dims": dim_list, "zinv": zinv}
+    return {
+        "wins": wins, "diags": diags, "dims": dim_list, "radii": radii,
+        "omegas": omegas, "zinv": zinv,
+    }
+
+
+def _safe_jacobi_omega(Z: sp.csr_matrix, diag: np.ndarray,
+                       iters: int = 25, seed: int = 7) -> float:
+    """Per-level smoother weight omega = 1.2 / rho(D^-1 Z).
+
+    A fixed omega is NOT safe: on sinh-clustered cavity grids
+    rho(D^-1 Z) rises past 2.3 and omega=0.85 weighted Jacobi *diverges*
+    (measured: CG stagnated at 31^3, cluster=2).  omega*rho = 1.2 keeps
+    the smoother contractive with margin while still damping the high
+    end of the spectrum.  rho is estimated by power iteration on
+    |D^-1 Z| at setup (host, ~25 SpMVs).
+    """
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(Z.shape[0])
+    dinv = 1.0 / diag
+    lam = 1.0
+    for _ in range(iters):
+        v = dinv * (Z @ v)
+        lam = np.linalg.norm(v)
+        v /= max(lam, 1e-30)
+    return float(1.2 / max(abs(lam), 1e-30))
 
 
 def _conv3(x3: jax.Array, dims, stride: int) -> jax.Array:
@@ -132,32 +162,44 @@ def mg_prolong(xc: jax.Array, coarse_dims, fine_dims) -> jax.Array:
     return _conv3(pf.reshape(-1), fine_dims, 1)
 
 
-def make_vcycle(params: dict, dims: list, *, nu: int = 2, omega: float = 0.85,
-                prefix: str = "mg"):
+def make_vcycle(params: dict, dims: list, radii: list,
+                omegas: list | None = None, *, nu: int = 2,
+                omega: float = 0.6, prefix: str = "mg"):
     """V(nu, nu)-cycle closure over device params (``{prefix}_win_l``,
-    ``{prefix}_diag_l``, ``{prefix}_zinv``); usable as a CG ``precond``."""
+    ``{prefix}_diag_l``, ``{prefix}_zinv``); usable as a CG ``precond``.
+
+    Symmetric (equal pre/post Jacobi sweeps with one per-level omega), so
+    it is a valid SPD/SND preconditioner for CG.  Pass the hierarchy's
+    ``omegas`` (see :func:`_safe_jacobi_omega`) — the scalar ``omega``
+    fallback is only safe on mildly stretched grids.
+    """
     from cfd_with_cuda_tpu.ops.stencil import patches_spmv
 
     n_ops = len(dims) - 1        # number of stencil levels
 
     def apply_z(lvl, x):
-        return patches_spmv(params[f"{prefix}_win_{lvl}"], x, dims[lvl], 1)
+        return patches_spmv(
+            params[f"{prefix}_win_{lvl}"], x, dims[lvl], radii[lvl]
+        )
 
     def diag(lvl):
         return params[f"{prefix}_diag_{lvl}"]
+
+    def om(lvl):
+        return omegas[lvl] if omegas is not None else omega
 
     def vc(lvl, b):
         if lvl == n_ops:
             return params[f"{prefix}_zinv"] @ b
         # pre-smooth from x=0: first sweep collapses to omega D^-1 b
-        x = omega * b / diag(lvl)
+        x = om(lvl) * b / diag(lvl)
         for _ in range(nu - 1):
-            x = x + omega * (b - apply_z(lvl, x)) / diag(lvl)
+            x = x + om(lvl) * (b - apply_z(lvl, x)) / diag(lvl)
         r = b - apply_z(lvl, x)
         xc = vc(lvl + 1, mg_restrict(r, dims[lvl]))
         x = x + mg_prolong(xc, dims[lvl + 1], dims[lvl])
         for _ in range(nu):
-            x = x + omega * (b - apply_z(lvl, x)) / diag(lvl)
+            x = x + om(lvl) * (b - apply_z(lvl, x)) / diag(lvl)
         return x
 
     return lambda r: vc(0, r)

@@ -50,6 +50,33 @@ class ChunkedTimeLoop:
         """
         raise NotImplementedError
 
+    def restart_path(self):
+        """`<title>_restart.dat` next to the deck file (or cwd for
+        generated decks) — the reference's fixed restart-file convention
+        (``readRestartFile``, ``blascoCodinaHuerta.cpp:4214-4242``)."""
+        from pathlib import Path
+
+        deck = self.deck
+        base = (
+            Path(deck.source_path).parent
+            if getattr(deck, "source_path", None)
+            else Path(".")
+        )
+        return base / f"{deck.title}_restart.dat"
+
+    def resolve_initial_state(self):
+        """``initial_state()``, or the auto-loaded restart when the deck
+        says ``isRestart`` (ref ``blascoCodinaHuerta.cpp:2793-2799`` —
+        round 1 parsed the flag but never honoured it)."""
+        if getattr(self.deck, "is_restart", False):
+            path = self.restart_path()
+            if not path.exists():
+                raise FileNotFoundError(
+                    f"deck requests isRestart but {path} does not exist"
+                )
+            return self.state_from_restart(path)
+        return self.initial_state()
+
     def _chunk_fn(self, n_steps: int):
         conv_crit = self.deck.convergence_criteria
 
@@ -94,7 +121,7 @@ class ChunkedTimeLoop:
         the end (steady or t_final; ``blascoCodinaHuerta.cpp:3097-3114``).
         """
         deck = self.deck
-        state = state if state is not None else self.initial_state()
+        state = state if state is not None else self.resolve_initial_state()
         total = n_steps if n_steps is not None else int(
             round((deck.t_final - deck.t_ini) / deck.dt)
         )
@@ -128,9 +155,21 @@ class ChunkedTimeLoop:
             done_steps += chunk_len
             if tecplot_path is not None and done_steps >= next_dump:
                 self.write_tecplot(state, tecplot_path)
+                self._write_restart_next_to(tecplot_path, state)
                 next_dump += tecplot_every
             if bool(done):
                 break
         if tecplot_path is not None:
             self.write_tecplot(state, tecplot_path)
+            self._write_restart_next_to(tecplot_path, state)
         return state, history
+
+    def _write_restart_next_to(self, tecplot_path, state) -> None:
+        """Checkpoint `<title>_restart.dat` beside the Tecplot product at
+        dump cadence, so an interrupted run resumes via ``isRestart``
+        without hand-copying files (the reference makes the user copy the
+        periodic dump, ``blascoCodinaHuerta.cpp:3107-3114``)."""
+        from pathlib import Path
+
+        path = Path(tecplot_path).parent / f"{self.deck.title}_restart.dat"
+        self.write_tecplot(state, path)

@@ -87,7 +87,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         "perm_p", "fine_dims", "coarse_dims", "elem_dims", "chan_order",
         "local_off", "k_offsets", "z_radius", "g_radius", "gt_radius",
         "s_pad", "pin_grid", "monitor_node", "monitor_node_deck",
-        "bc_of_node",
+        "bc_of_node", "use_mg", "mg_dims", "mg_radii", "mg_omegas",
     )
 
     # ------------------------------------------------------------------ setup
@@ -151,11 +151,17 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         # (fem/structured.py — random gathers are the TPU bottleneck).
         self.structured = False
         self.elem_structured = False
+        self.use_mg = False
         self.perm = None
         if self.config.structured in ("auto", "force"):
             self._try_structured(mesh, ops, Z, is_bc, bc_vel, md_inv, md_orig_inv)
             if self.config.structured == "force" and not self.structured:
                 raise ValueError("structured mode forced but mesh is not a box grid")
+        if self.config.pressure_precond == "mg" and not self.use_mg:
+            raise ValueError(
+                "pressure_precond='mg' needs the structured fast path "
+                "(geometric hierarchy); this mesh fell back to ELL"
+            )
 
         dev = lambda x: np.asarray(x, dtype=dtype)
         if not self.structured:
@@ -342,6 +348,24 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         self.monitor_node_deck = mon
         self.monitor_node = int(perm[mon])
 
+        # geometric-multigrid pressure preconditioner (the grid hierarchy
+        # is free on the structured path; ops/multigrid.py) — the pinned Z
+        # in grid order feeds the Galerkin ladder
+        if self.config.pressure_precond in ("auto", "mg"):
+            from cfd_with_cuda_tpu.ops.multigrid import build_mg_hierarchy
+
+            inv_p = np.argsort(perm_p)          # flat grid id -> node id
+            Zg = Z[inv_p][:, inv_p].tocsr()
+            mg = build_mg_hierarchy(Zg, gi_p.dims, dtype=dtype)
+            self.mg_dims = mg["dims"]
+            self.mg_radii = mg["radii"]
+            self.mg_omegas = mg["omegas"]
+            for lvl, (w, dg) in enumerate(zip(mg["wins"], mg["diags"])):
+                self.d[f"mg_win_{lvl}"] = w
+                self.d[f"mg_diag_{lvl}"] = dg
+            self.d["mg_zinv"] = mg["zinv"]
+            self.use_mg = True
+
     # ----------------------------------------------------------- initial state
     def initial_state(self) -> ExplicitState:
         """Zero field with BC velocities imposed (``applyBC_initial``)."""
@@ -413,11 +437,18 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             div = lambda u: div_apply(d["GT_vals"], d["GT_cols"], u)
             pin = self.pin
 
+        if self.use_mg:
+            from cfd_with_cuda_tpu.ops.multigrid import make_vcycle
+
+            precond = make_vcycle(d, self.mg_dims, self.mg_radii, self.mg_omegas)
+        else:
+            precond = lambda r: r / d["Z_diag"]
+
         def pressure_solve(r2):
             return cg(
                 z_mul, r2,
                 tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,
-                precond=lambda r: r / d["Z_diag"],
+                precond=precond,
             )
 
         mask = d["bc_mask"][None, :]

@@ -70,7 +70,8 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         "perm_p", "fine_dims", "coarse_dims", "elem_dims", "chan_order",
         "local_off", "a_offsets", "a_zero_off", "z_radius", "g_radius",
         "gt_radius", "_dia_nslots", "_dia_shape", "_ell_shape", "_nnz",
-        "s_pad", "pin_grid", "monitor_node",
+        "s_pad", "pin_grid", "monitor_node", "use_mg", "mg_dims", "mg_radii",
+        "mg_omegas",
     )
 
     def _setup(self) -> None:
@@ -137,10 +138,16 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         # ---- structured fast path (see explicit_bch._try_structured) ----
         self.structured = False
         self.elem_structured = False
+        self.use_mg = False
         if cfg.structured in ("auto", "force"):
             self._try_structured(mesh, ops, Z, is_bc, bc_vel, mk_vals, pat)
             if cfg.structured == "force" and not self.structured:
                 raise ValueError("structured mode forced but mesh is not a box grid")
+        if cfg.pressure_precond == "mg" and not self.use_mg:
+            raise ValueError(
+                "pressure_precond='mg' needs the structured fast path "
+                "(geometric hierarchy); this mesh fell back to ELL"
+            )
         if self.structured:
             self.dt = float(deck.dt)
             self._momentum_solver = solver_by_name(cfg.momentum_solver)
@@ -352,6 +359,23 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         )
         self.monitor_node = int(perm[mon])
 
+        # geometric-multigrid pressure preconditioner on the pinned
+        # direct-assembly Z (sign-agnostic cycle; ops/multigrid.py)
+        if self.config.pressure_precond in ("auto", "mg"):
+            from cfd_with_cuda_tpu.ops.multigrid import build_mg_hierarchy
+
+            inv_p = np.argsort(perm_p)          # flat grid id -> node id
+            Zg = Z[inv_p][:, inv_p].tocsr()
+            mg = build_mg_hierarchy(Zg, gi_p.dims, dtype=dtype)
+            self.mg_dims = mg["dims"]
+            self.mg_radii = mg["radii"]
+            self.mg_omegas = mg["omegas"]
+            for lvl, (w, dg) in enumerate(zip(mg["wins"], mg["diags"])):
+                self.d[f"mg_win_{lvl}"] = w
+                self.d[f"mg_diag_{lvl}"] = dg
+            self.d["mg_zinv"] = mg["zinv"]
+            self.use_mg = True
+
     # ----------------------------------------------------------------- state
     def initial_state(self) -> ImplicitState:
         dtype = self.config.jnp_dtype()
@@ -369,9 +393,13 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             pg = np.empty_like(p)
             pg[self.perm_p] = p
             u, p = ug, pg
-        pj = jnp.asarray(p, dtype=dtype)
+        # pk and pk_prev must be DISTINCT buffers: run() donates the state,
+        # and aliased leaves make XLA reject the donation (buffer donated
+        # twice)
         return ImplicitState(
-            uk=jnp.asarray(u, dtype=dtype), pk=pj, pk_prev=pj
+            uk=jnp.asarray(u, dtype=dtype),
+            pk=jnp.asarray(p, dtype=dtype),
+            pk_prev=jnp.array(p, dtype=dtype, copy=True),
         )
 
     # ------------------------------------------------------------- one step
@@ -436,12 +464,18 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         )
         if self.pin_grid > 0:
             r2 = r2.at[self.pin_grid].set(0.0)
+        if self.use_mg:
+            from cfd_with_cuda_tpu.ops.multigrid import make_vcycle
+
+            precond = make_vcycle(d, self.mg_dims, self.mg_radii, self.mg_omegas)
+        else:
+            precond = lambda r: r / d["Z_diag"]
         sol = cg(
             lambda p: patches_spmv(d["Z_win"], p, self.coarse_dims, self.z_radius),
             r2,
             tol=cfg.pressure_cg_tol,
             maxiter=cfg.pressure_cg_maxiter,
-            precond=lambda r: r / d["Z_diag"],
+            precond=precond,
         )
         pk = pk_prev + sol.x
 

@@ -36,14 +36,8 @@ from dataclasses import dataclass
 import numpy as np
 import scipy.sparse as sp
 
-import jax
-import jax.numpy as jnp
-
 from cfd_with_cuda_tpu.fem.jacobian import build_element_tables
-from cfd_with_cuda_tpu.fem.sparse import ell_from_csr
 from cfd_with_cuda_tpu.io.deck import Deck
-from cfd_with_cuda_tpu.ops.krylov import solver_by_name
-from cfd_with_cuda_tpu.ops.spmv import ell_spmv
 
 __all__ = ["GLSNavierStokesSolver", "StokesSolver"]
 
@@ -215,22 +209,12 @@ class _MonolithicBase:
 
     # ---------------------------------------------------------------- solve
     def _solve_linear(self, K: sp.csr_matrix, F: np.ndarray) -> tuple[np.ndarray, int]:
-        ell = ell_from_csr(
-            K.indptr.astype(np.int64), K.indices.astype(np.int64), K.data,
-            n_cols=self.ndof,
+        from cfd_with_cuda_tpu.ops.linsolve import solve_csr
+
+        return solve_csr(
+            K, F, self.solver_name, tol=self.solver_tol,
+            maxiter=self.solver_maxiter, gmres_restart=self.gmres_restart,
         )
-        vals = jnp.asarray(ell.vals)
-        cols = jnp.asarray(ell.cols)
-        diag = np.asarray(K.diagonal())
-        diag = np.where(diag == 0.0, 1.0, diag)
-        diagj = jnp.asarray(diag)
-        solve = solver_by_name(self.solver_name)
-        kwargs = dict(tol=self.solver_tol, maxiter=self.solver_maxiter,
-                      precond=lambda r: r / diagj)
-        if self.solver_name == "gmres":
-            kwargs["restart"] = self.gmres_restart
-        res = solve(lambda x: ell_spmv(vals, cols, x), jnp.asarray(F), **kwargs)
-        return np.asarray(res.x), int(res.iters)
 
     def fields(self, x: np.ndarray):
         nn = self.nn

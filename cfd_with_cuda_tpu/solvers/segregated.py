@@ -33,13 +33,9 @@ from dataclasses import dataclass
 import numpy as np
 import scipy.sparse as sp
 
-import jax.numpy as jnp
-
 from cfd_with_cuda_tpu.fem.jacobian import build_element_tables
-from cfd_with_cuda_tpu.fem.sparse import build_csr_pattern, ell_from_csr
+from cfd_with_cuda_tpu.fem.sparse import build_csr_pattern
 from cfd_with_cuda_tpu.io.deck import Deck
-from cfd_with_cuda_tpu.ops.krylov import solver_by_name
-from cfd_with_cuda_tpu.ops.spmv import ell_spmv
 
 __all__ = ["SegregatedSolver"]
 
@@ -141,24 +137,12 @@ class SegregatedSolver:
 
     # ------------------------------------------------------------------ solve
     def _krylov(self, A: sp.csr_matrix, b: np.ndarray, name: str):
-        ell = ell_from_csr(
-            A.indptr.astype(np.int64), A.indices.astype(np.int64), A.data,
-            n_cols=A.shape[1],
+        from cfd_with_cuda_tpu.ops.linsolve import solve_csr
+
+        return solve_csr(
+            A, b, name, tol=self.solver_tol, maxiter=self.solver_maxiter,
+            gmres_restart=self.gmres_restart,
         )
-        vals = jnp.asarray(ell.vals)
-        cols = jnp.asarray(ell.cols)
-        diag = np.asarray(A.diagonal())
-        diag = np.where(diag == 0.0, 1.0, diag)
-        diagj = jnp.asarray(diag)
-        solve = solver_by_name(name)
-        kwargs = dict(tol=self.solver_tol, maxiter=self.solver_maxiter,
-                      precond=lambda r: r / diagj)
-        if name == "gmres":
-            kwargs["restart"] = self.gmres_restart
-        res = solve(lambda x: ell_spmv(vals, cols, x), jnp.asarray(b), **kwargs)
-        # np.array (copy): views of jax arrays are read-only and the outer
-        # loop mutates the returned velocity fields in place
-        return np.array(res.x), int(res.iters)
 
     def solve(self, *, max_outer: int | None = None, tol: float | None = None,
               verbose: bool = False):

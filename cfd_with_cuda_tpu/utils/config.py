@@ -58,6 +58,13 @@ class SolverConfig:
     momentum_solver: str = "bicgstab"
     pressure_solver: str = "cg"
     gmres_restart: int = 100
+    # Pressure-CG preconditioner: "auto" uses the geometric-multigrid
+    # V-cycle whenever the structured fast path is active (~51 -> ~7
+    # Jacobi-CG iterations on the NE27000 cavity; ops/multigrid.py) and
+    # Jacobi otherwise; "mg" / "jacobi" force a choice ("mg" on an
+    # unstructured mesh raises).  The reference only ever precondition
+    # with Jacobi (blascoCodinaHuerta.cpp:4013-4018, CUDAcodes.cu:437).
+    pressure_precond: str = "auto"
     # Structured-grid DIA fast path: "auto" detects box-grid decks and
     # replaces gather-bound ELL SpMV with shift+FMA stencils; "never"
     # forces ELL; "force" errors if the mesh is not a box grid.

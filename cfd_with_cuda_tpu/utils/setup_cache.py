@@ -32,7 +32,7 @@ __all__ = [
 ]
 
 # bump when solver snapshot layouts change — stale entries just miss
-SCHEMA = 3
+SCHEMA = 4
 
 
 def default_cache_dir() -> str | None:
@@ -61,6 +61,8 @@ def _hash_update(h, obj) -> None:
 
 # config fields that do not shape the setup arrays
 _CFG_EXCLUDE = frozenset({"verbose", "setup_cache"})
+# deck fields that are provenance, not content
+_DECK_EXCLUDE = frozenset({"source_path"})
 
 
 def deck_fingerprint(deck, config, *extra) -> str:
@@ -68,6 +70,8 @@ def deck_fingerprint(deck, config, *extra) -> str:
     h = hashlib.sha256()
     h.update(f"schema={SCHEMA}".encode())
     for field in dataclasses.fields(deck):
+        if field.name in _DECK_EXCLUDE:
+            continue
         _hash_update(h, getattr(deck, field.name))
     for field in dataclasses.fields(config):
         if field.name not in _CFG_EXCLUDE:

@@ -1,0 +1,103 @@
+"""Run the lid-driven cavity to steady state and validate centerline
+profiles against Ghia et al. (1982) — the physical ground truth for the
+reference's canonical benchmark (``lidDrivenCavity_NE27000.inp``).
+
+Writes the converged profiles to
+``cfd_with_cuda_tpu/validation/data/cavity_re<RE>.npz`` (consumed by
+``tests/test_validation.py`` as a regression anchor) and prints the
+max deviation from Ghia inside the 3-D mid-plane acceptance band.
+
+Usage:
+  python scripts/validate_cavity.py            # Re=100 on the NE27000 deck
+  python scripts/validate_cavity.py --re1000   # Re=1000, generated 40^3 mesh
+  python scripts/validate_cavity.py --implicit # implicit GQ integrator
+"""
+
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import numpy as np
+
+REF_DECK = "/root/reference/inputFiles/lidDrivenCavity/lidDrivenCavity_NE27000.inp"
+DATA_DIR = REPO / "cfd_with_cuda_tpu" / "validation" / "data"
+
+
+def main():
+    from cfd_with_cuda_tpu.io.deck import read_deck
+    from cfd_with_cuda_tpu.mesh.generators import cavity_deck
+    from cfd_with_cuda_tpu.solvers.explicit_bch import ExplicitBCHSolver
+    from cfd_with_cuda_tpu.solvers.implicit_gq import ImplicitGQSolver
+    from cfd_with_cuda_tpu.utils.config import DTypePolicy, SolverConfig
+    from cfd_with_cuda_tpu.utils.setup_cache import enable_compilation_cache
+    from cfd_with_cuda_tpu.validation.ghia1982 import (
+        centerline_profiles,
+        check_against_ghia,
+    )
+
+    enable_compilation_cache()
+
+    re1000 = "--re1000" in sys.argv
+    if re1000:
+        re = 1000
+        deck = cavity_deck(
+            40, cluster=2.0, viscosity=0.001, dt=0.002, t_final=150.0,
+            convergence=2e-5,
+        )
+        max_steps = 75000
+    else:
+        re = 100
+        if os.path.exists(REF_DECK):
+            deck = read_deck(REF_DECK)
+            deck.t_final = 50.0       # run to steady; steady check stops it
+        else:
+            deck = cavity_deck(
+                30, cluster=2.0, viscosity=0.01, dt=0.001, t_final=50.0
+            )
+        max_steps = 50000
+
+    solver_cls = ImplicitGQSolver if "--implicit" in sys.argv else ExplicitBCHSolver
+    tag = "implicit" if "--implicit" in sys.argv else "explicit"
+    cfg = SolverConfig(
+        dtype_policy=DTypePolicy.F32,
+        pressure_cg_tol=1e-6,
+        steps_per_chunk=100,
+        setup_cache="auto",
+    )
+    t0 = time.time()
+    solver = solver_cls(deck, cfg)
+    print(f"setup {time.time()-t0:.1f}s structured={solver.structured} "
+          f"use_mg={solver.use_mg}", flush=True)
+
+    t0 = time.time()
+    state, hist = solver.run(n_steps=max_steps)
+    dt_run = time.time() - t0
+    h = hist[-1]
+    print(f"ran {len(hist)} steps in {dt_run:.0f}s "
+          f"({dt_run/len(hist)*1e3:.1f} ms/step); "
+          f"max_acc={h['max_acc']:.3e} u_mon={h['u_mon']:+.6f} "
+          f"steady={h['max_acc'] <= deck.convergence_criteria}", flush=True)
+
+    u, p = solver.fields(state)
+    coords = solver.mesh.coords
+    z, u_x, x, u_z = centerline_profiles(coords, u)
+    err_u, err_v = check_against_ghia(z, u_x, x, u_z, re=re)
+    print(f"Ghia Re={re}: max|u - ghia_u| = {err_u:.4f}, "
+          f"max|w - ghia_v| = {err_v:.4f} (3-D band 0.06)")
+
+    DATA_DIR.mkdir(parents=True, exist_ok=True)
+    out = DATA_DIR / f"cavity_re{re}_{tag}.npz"
+    np.savez(
+        out, z=z, u_x=u_x, x=x, u_z=u_z,
+        steps=len(hist), max_acc=h["max_acc"], u_mon=h["u_mon"],
+        err_ghia_u=err_u, err_ghia_v=err_v,
+    )
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -112,6 +112,60 @@ def test_jacobi_preconditioner_reduces_iterations(rng):
     )
 
 
+def test_gmres_happy_breakdown(rng):
+    """Convergence mid-cycle (rank-deficient Hessenberg) must not NaN —
+    the Givens update sends dead columns' coefficients to zero."""
+    n = 50
+    A = np.eye(n) * 3.0           # Krylov space exhausted after 1 step
+    b = rng.standard_normal(n)
+    res = krylov.gmres(
+        lambda x: jnp.asarray(A) @ x, jnp.asarray(b), tol=1e-12,
+        maxiter=200, restart=30,
+    )
+    x = np.asarray(res.x)
+    assert np.isfinite(x).all()
+    np.testing.assert_allclose(x, b / 3.0, atol=1e-10)
+
+
+def test_gmres_ill_conditioned(rng):
+    """Givens-rotation least squares keeps the Hessenberg conditioning;
+    the old normal-equations path squared it and lost half the digits."""
+    n = 60
+    d = np.geomspace(1.0, 1e8, n)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A = (Q * d) @ Q.T
+    x_true = rng.standard_normal(n)
+    b = A @ x_true
+    res = krylov.gmres(
+        lambda x: jnp.asarray(A) @ x, jnp.asarray(b), tol=1e-13,
+        maxiter=600, restart=60,
+        precond=lambda r: r / jnp.asarray(np.diag(A)),
+    )
+    rel = np.linalg.norm(A @ np.asarray(res.x) - b) / np.linalg.norm(b)
+    assert rel < 1e-10
+
+
+def test_solve_csr_backends(rng):
+    """ops.linsolve frontend: splu (PARDISO role) and bicg (with the
+    transpose wired) both hit the direct solution of a NONSYMMETRIC
+    system — regression for bicg silently assuming symmetry."""
+    import scipy.sparse as sp
+
+    from cfd_with_cuda_tpu.ops.linsolve import solve_csr
+
+    n = 50
+    A = _general(n, rng)
+    A[0, 1] += 7.0                 # clearly nonsymmetric
+    A_csr = sp.csr_matrix(A)
+    b = rng.standard_normal(n)
+    x_ref = np.linalg.solve(A, b)
+    x_lu, it_lu = solve_csr(A_csr, b, "splu")
+    np.testing.assert_allclose(x_lu, x_ref, atol=1e-10)
+    assert it_lu == 1
+    x_bicg, _ = solve_csr(A_csr, b, "bicg", tol=1e-12, maxiter=500)
+    np.testing.assert_allclose(x_bicg, x_ref, atol=1e-6)
+
+
 def test_cg_on_pressure_poisson_with_pin(rng):
     """CG solves the pinned Z system of a real cavity mesh — the standalone
     Poisson capability (reference MKL_CG_solver, tol 1e-12 / Jacobi)."""
