@@ -47,6 +47,27 @@ def _norm(a):
     return jnp.sqrt(_dot(a, a))
 
 
+def _make_dot(dot_dtype):
+    """(dot, norm) pair; with ``dot_dtype`` set, products are accumulated
+    in that dtype and cast back — the SURVEY §7 mixed-precision mode
+    (f32 state + f64 reductions; the reductions are where f32 Krylov
+    loses orthogonality first).  Requires jax x64 for f64 accumulation."""
+    if dot_dtype is None:
+        return _dot, _norm
+
+    def dot(a, b):
+        acc = jnp.sum(
+            (a.astype(dot_dtype) * b.astype(dot_dtype)),
+            axis=-1, keepdims=True,
+        )
+        return acc.astype(a.dtype)
+
+    def norm(a):
+        return jnp.sqrt(dot(a, a))
+
+    return dot, norm
+
+
 def _max(a):
     """Max over batched systems (scalar)."""
     return jnp.max(a)
@@ -90,34 +111,36 @@ def cg(
     atol: float = 0.0,
     maxiter: int = 1000,
     precond: Callable | None = None,
+    dot_dtype=None,
 ) -> KrylovResult:
     """Preconditioned conjugate gradient (SPD systems)."""
     M = precond or _identity_precond
+    dot, norm = _make_dot(dot_dtype)
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - matvec(x)
     z = M(r)
     p = z
-    rz = _dot(r, z)
-    bound = _tol_bound(b, tol, atol)
+    rz = dot(r, z)
+    bound = jnp.maximum(tol * _max(norm(b)), atol)
 
     def cond(state):
         x, r, z, p, rz, k = state
-        return (k < maxiter) & (_max(_norm(r)) > bound)
+        return (k < maxiter) & (_max(norm(r)) > bound)
 
     def body(state):
         x, r, z, p, rz, k = state
         Ap = matvec(p)
-        alpha = _safe_div(rz, _dot(p, Ap))
+        alpha = _safe_div(rz, dot(p, Ap))
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
-        rz_new = _dot(r, z)
+        rz_new = dot(r, z)
         beta = _safe_div(rz_new, rz)
         p = z + beta * p
         return x, r, z, p, rz_new, k + 1
 
     x, r, z, p, rz, k = lax.while_loop(cond, body, (x, r, z, p, rz, 0))
-    return KrylovResult(x, k, _max(_norm(r)))
+    return KrylovResult(x, k, _max(norm(r)))
 
 
 def cr(
@@ -129,38 +152,40 @@ def cr(
     atol: float = 0.0,
     maxiter: int = 1000,
     precond: Callable | None = None,
+    dot_dtype=None,
 ) -> KrylovResult:
     """Preconditioned conjugate residual (symmetric systems)."""
     M = precond or _identity_precond
+    dot, norm = _make_dot(dot_dtype)
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - matvec(x)
     z = M(r)
     p = z
     Az = matvec(z)
     Ap = Az
-    rAz = _dot(r, Az)
-    bound = _tol_bound(b, tol, atol)
+    rAz = dot(r, Az)
+    bound = jnp.maximum(tol * _max(norm(b)), atol)
 
     def cond(state):
         x, r, z, p, Ap, rAz, k = state
-        return (k < maxiter) & (_max(_norm(r)) > bound)
+        return (k < maxiter) & (_max(norm(r)) > bound)
 
     def body(state):
         x, r, z, p, Ap, rAz, k = state
         MAp = M(Ap)
-        alpha = _safe_div(rAz, _dot(Ap, MAp))
+        alpha = _safe_div(rAz, dot(Ap, MAp))
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
         Az = matvec(z)
-        rAz_new = _dot(r, Az)
+        rAz_new = dot(r, Az)
         beta = _safe_div(rAz_new, rAz)
         p = z + beta * p
         Ap = Az + beta * Ap
         return x, r, z, p, Ap, rAz_new, k + 1
 
     x, r, z, p, Ap, rAz, k = lax.while_loop(cond, body, (x, r, z, p, Ap, rAz, 0))
-    return KrylovResult(x, k, _max(_norm(r)))
+    return KrylovResult(x, k, _max(norm(r)))
 
 
 def bicg(
@@ -173,6 +198,7 @@ def bicg(
     atol: float = 0.0,
     maxiter: int = 1000,
     precond: Callable | None = None,
+    dot_dtype=None,
 ) -> KrylovResult:
     """BiConjugate gradient (general systems; needs A^T matvec).
 
@@ -183,6 +209,7 @@ def bicg(
     uses A^T internally, ``oldFiles/segregatedSolver/CUSP_BiCG.cu:60``).
     """
     M = precond or _identity_precond
+    dot, norm = _make_dot(dot_dtype)
     At = rmatvec or matvec
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - matvec(x)
@@ -190,31 +217,31 @@ def bicg(
     z = M(r)
     zt = M(rt)
     p, pt = z, zt
-    rz = _dot(rt, z)
-    bound = _tol_bound(b, tol, atol)
+    rz = dot(rt, z)
+    bound = jnp.maximum(tol * _max(norm(b)), atol)
 
     def cond(state):
         x, r, rt, p, pt, rz, k = state
-        return (k < maxiter) & (_max(_norm(r)) > bound)
+        return (k < maxiter) & (_max(norm(r)) > bound)
 
     def body(state):
         x, r, rt, p, pt, rz, k = state
         Ap = matvec(p)
         Atpt = At(pt)
-        alpha = _safe_div(rz, _dot(pt, Ap))
+        alpha = _safe_div(rz, dot(pt, Ap))
         x = x + alpha * p
         r = r - alpha * Ap
         rt = rt - alpha * Atpt
         z = M(r)
         zt = M(rt)
-        rz_new = _dot(rt, z)
+        rz_new = dot(rt, z)
         beta = _safe_div(rz_new, rz)
         p = z + beta * p
         pt = zt + beta * pt
         return x, r, rt, p, pt, rz_new, k + 1
 
     x, r, rt, p, pt, rz, k = lax.while_loop(cond, body, (x, r, rt, p, pt, rz, 0))
-    return KrylovResult(x, k, _max(_norm(r)))
+    return KrylovResult(x, k, _max(norm(r)))
 
 
 def bicgstab(
@@ -226,44 +253,46 @@ def bicgstab(
     atol: float = 1e-15,
     maxiter: int = 1000,
     precond: Callable | None = None,
+    dot_dtype=None,
 ) -> KrylovResult:
     """Preconditioned BiCGStab (general systems) — the reference's momentum
     solver (Paralution / cusp::krylov::bicgstab)."""
     M = precond or _identity_precond
+    dot, norm = _make_dot(dot_dtype)
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - matvec(x)
     rhat = r
-    rho = _dot(rhat, r)
+    rho = dot(rhat, r)
     p = r
-    bound = _tol_bound(b, tol, atol)
+    bound = jnp.maximum(tol * _max(norm(b)), atol)
 
     def cond(state):
         x, r, p, rho, k = state
-        return (k < maxiter) & (_max(_norm(r)) > bound)
+        return (k < maxiter) & (_max(norm(r)) > bound)
 
     def body(state):
         x, r, p, rho, k = state
         phat = M(p)
         v = matvec(phat)
-        alpha = _safe_div(rho, _dot(rhat, v))
+        alpha = _safe_div(rho, dot(rhat, v))
         s = r - alpha * v
         shat = M(s)
         t = matvec(shat)
-        tt = _dot(t, t)
-        omega = _safe_div(_dot(t, s), tt)
+        tt = dot(t, t)
+        omega = _safe_div(dot(t, s), tt)
         x = x + alpha * phat + omega * shat
         r = s - omega * t
-        rho_new = _dot(rhat, r)
+        rho_new = dot(rhat, r)
         beta = _safe_div(rho_new, rho) * _safe_div(alpha, omega)
         p = r + beta * (p - omega * v)
         return x, r, p, rho_new, k + 1
 
     x, r, p, rho, k = lax.while_loop(cond, body, (x, r, p, rho, 0))
-    return KrylovResult(x, k, _max(_norm(r)))
+    return KrylovResult(x, k, _max(norm(r)))
 
 
 def _gmres_single(
-    matvec, b, x0, *, tol, atol, maxiter, restart, precond
+    matvec, b, x0, *, tol, atol, maxiter, restart, precond, dot_dtype=None
 ) -> KrylovResult:
     """Restarted GMRES on a single (N,) system, right-preconditioned.
 
@@ -275,6 +304,10 @@ def _gmres_single(
     it never touches TPU's f32-only dense LU/SVD.
     """
     M = precond or _identity_precond
+    dd = dot_dtype or b.dtype          # accumulation dtype (mixed mode)
+    vnorm = lambda v: jnp.sqrt(
+        jnp.sum((v.astype(dd) * v.astype(dd)))
+    ).astype(b.dtype)
     n = b.shape[0]
     m = restart
     bound = jnp.maximum(tol * jnp.linalg.norm(b), atol)
@@ -282,7 +315,7 @@ def _gmres_single(
 
     def arnoldi_cycle(x):
         r = b - matvec(x)
-        beta = jnp.linalg.norm(r)
+        beta = vnorm(r)
         V = jnp.zeros((m + 1, n), b.dtype).at[0].set(r / jnp.maximum(beta, eps))
         # Rcols[j] = column j of the rotated (triangular) Hessenberg factor
         Rcols = jnp.zeros((m, m + 1), b.dtype)
@@ -295,9 +328,9 @@ def _gmres_single(
             w = matvec(M(V[j]))
             # modified Gram-Schmidt against all basis vectors (masked)
             mask = (jnp.arange(m + 1) <= j).astype(b.dtype)
-            h = (V @ w) * mask
+            h = (V.astype(dd) @ w.astype(dd)).astype(b.dtype) * mask
             w = w - h @ V
-            hj1 = jnp.linalg.norm(w)
+            hj1 = vnorm(w)
             V = V.at[j + 1].set(w / jnp.maximum(hj1, eps))
             h = h.at[j + 1].set(hj1)
 
@@ -361,6 +394,7 @@ def gmres(
     maxiter: int = 1000,
     restart: int = 100,
     precond: Callable | None = None,
+    dot_dtype=None,
 ) -> KrylovResult:
     """Restarted GMRES — the reference's CUSP momentum/monolithic solver
     (``oldFiles/segregatedSolver/CUSP_GMRES.cu:75``, restart=100).
@@ -370,13 +404,13 @@ def gmres(
     if b.ndim == 1:
         return _gmres_single(
             matvec, b, x0, tol=tol, atol=atol, maxiter=maxiter,
-            restart=restart, precond=precond,
+            restart=restart, precond=precond, dot_dtype=dot_dtype,
         )
 
     def solve_col(bc, x0c):
         return _gmres_single(
             matvec, bc, x0c, tol=tol, atol=atol, maxiter=maxiter,
-            restart=restart, precond=precond,
+            restart=restart, precond=precond, dot_dtype=dot_dtype,
         )
 
     x0_cols = jnp.zeros_like(b) if x0 is None else x0

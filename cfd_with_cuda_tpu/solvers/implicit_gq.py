@@ -454,6 +454,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             tol=cfg.momentum_tol,
             atol=cfg.momentum_abs_tol,
             maxiter=cfg.momentum_maxiter,
+            dot_dtype=cfg.krylov_dot_dtype(),
             precond=lambda r: r / a_diag,
         )
         uk = mom.x
@@ -475,6 +476,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             r2,
             tol=cfg.pressure_cg_tol,
             maxiter=cfg.pressure_cg_maxiter,
+            dot_dtype=cfg.krylov_dot_dtype(),
             precond=precond,
         )
         pk = pk_prev + sol.x
@@ -519,6 +521,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             tol=cfg.momentum_tol,
             atol=cfg.momentum_abs_tol,
             maxiter=cfg.momentum_maxiter,
+            dot_dtype=cfg.krylov_dot_dtype(),
             precond=lambda r: r / a_diag,
         )
         uk = mom.x
@@ -535,6 +538,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             r2,
             tol=cfg.pressure_cg_tol,
             maxiter=cfg.pressure_cg_maxiter,
+            dot_dtype=cfg.krylov_dot_dtype(),
             precond=lambda r: r / d["Z_diag"],
         )
         pk = pk_prev + sol.x                                 # (:4162-4165)

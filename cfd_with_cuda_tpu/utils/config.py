@@ -94,3 +94,12 @@ class SolverConfig:
         import jax.numpy as jnp
 
         return jnp.float64 if self.dtype_policy is DTypePolicy.F64 else jnp.float32
+
+    def krylov_dot_dtype(self):
+        """f64 accumulation dtype for Krylov inner products under the
+        MIXED policy (f32 state + f64 reductions, SURVEY §7); None
+        otherwise.  Needs jax x64 enabled — without it the casts silently
+        truncate back to f32 (jax emits a UserWarning)."""
+        import jax.numpy as jnp
+
+        return jnp.float64 if self.dtype_policy is DTypePolicy.MIXED else None

@@ -166,6 +166,29 @@ def test_solve_csr_backends(rng):
     np.testing.assert_allclose(x_bicg, x_ref, atol=1e-6)
 
 
+def test_mixed_precision_dots(rng):
+    """dot_dtype=f64 (the MIXED policy: f32 state, f64 reductions) must
+    not degrade an f32 solve, and typically recovers digits on an
+    ill-conditioned system (f32 Krylov loses orthogonality in the dots
+    first)."""
+    n = 64
+    d = np.geomspace(1.0, 3e5, n)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A = ((Q * d) @ Q.T).astype(np.float32)
+    A = (A + A.T) / 2
+    x_true = rng.standard_normal(n)
+    b = (A.astype(np.float64) @ x_true).astype(np.float32)
+    mv = lambda x: jnp.asarray(A) @ x
+    bj = jnp.asarray(b)
+    plain = krylov.cg(mv, bj, tol=1e-7, maxiter=3000)
+    mixed = krylov.cg(mv, bj, tol=1e-7, maxiter=3000, dot_dtype=jnp.float64)
+    r_plain = np.linalg.norm(A @ np.asarray(plain.x) - b)
+    r_mixed = np.linalg.norm(A @ np.asarray(mixed.x) - b)
+    assert np.isfinite(r_mixed)
+    assert r_mixed <= r_plain * 2.0        # never worse (2x noise margin)
+    assert mixed.x.dtype == bj.dtype       # state stays f32
+
+
 def test_cg_on_pressure_poisson_with_pin(rng):
     """CG solves the pinned Z system of a real cavity mesh — the standalone
     Poisson capability (reference MKL_CG_solver, tol 1e-12 / Jacobi)."""
