@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["StepStats", "ChunkedTimeLoop"]
+__all__ = ["StepStats", "ChunkedTimeLoop", "unpack_chunk_stats"]
 
 
 class StepStats(NamedTuple):
@@ -31,6 +31,13 @@ class StepStats(NamedTuple):
     iters: jax.Array        # nonlinear sub-iterations used (1 for implicit)
     cg_iters: jax.Array     # pressure-solver iterations
     mom_iters: jax.Array    # momentum-solver iterations (0 for explicit)
+
+
+def unpack_chunk_stats(packed) -> tuple[StepStats, bool]:
+    """(StepStats of (n_steps,) arrays, done flag) from a chunk's packed
+    f32 monitor matrix (see ``ChunkedTimeLoop._chunk_fn``)."""
+    mat = np.asarray(packed)
+    return StepStats(*mat[:-1]), bool(mat[-1, -1])
 
 
 class ChunkedTimeLoop:
@@ -99,7 +106,16 @@ class ChunkedTimeLoop:
                 None,
                 length=n_steps,
             )
-            return state, done, stats
+            # pack monitor scalars + the done flag into ONE f32 matrix so
+            # the host pulls a single buffer per chunk: each D2H transfer
+            # through the axon tunnel costs ~45 ms, and pulling the 8
+            # StepStats leaves + done separately cost ~377 ms per chunk
+            # (measured) — 37 ms/step at steps_per_chunk=10
+            packed = jnp.stack(
+                [jnp.asarray(leaf, jnp.float32) for leaf in stats]
+                + [jnp.broadcast_to(done.astype(jnp.float32), (n_steps,))]
+            )
+            return state, packed
 
         return chunk
 
@@ -133,8 +149,9 @@ class ChunkedTimeLoop:
         next_dump = tecplot_every
         t = deck.t_ini
         while done_steps < total:
-            state, done, stats = step_fn(self.d, state)
-            stats = jax.tree.map(np.asarray, stats)
+            state, packed = step_fn(self.d, state)
+            # ONE device->host pull per chunk
+            stats, done = unpack_chunk_stats(packed)
             for k in range(chunk_len):
                 if done_steps + k >= total:
                     break
@@ -157,7 +174,7 @@ class ChunkedTimeLoop:
                 self.write_tecplot(state, tecplot_path)
                 self._write_restart_next_to(tecplot_path, state)
                 next_dump += tecplot_every
-            if bool(done):
+            if done:
                 break
         if tecplot_path is not None:
             self.write_tecplot(state, tecplot_path)

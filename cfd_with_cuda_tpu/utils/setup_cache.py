@@ -32,7 +32,7 @@ __all__ = [
 ]
 
 # bump when solver snapshot layouts change — stale entries just miss
-SCHEMA = 4
+SCHEMA = 5
 
 
 def default_cache_dir() -> str | None:

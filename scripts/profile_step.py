@@ -33,23 +33,29 @@ def make_bench():
     from jax import lax
 
     def bench(fn, x, params, repeats=REPEATS):
-        """ms per fn(x, params) application, chained inside one jit."""
+        """ms per fn(x, params) application, chained inside one jit.
+
+        The chain multiplier is a TRACED zero: a literal ``0.0 * s``
+        constant-folds, the body becomes identity, and XLA DCEs the whole
+        loop (measured: "113 MB in 0.003 ms").
+        """
 
         @jax.jit
-        def loop(x, params):
+        def loop(x, params, zero):
             def body(_, x):
                 out = fn(x, params)
                 s = sum(
                     jnp.sum(leaf).astype(x.dtype)
                     for leaf in jax.tree.leaves(out)
                 )
-                return x + 0.0 * s
+                return x + zero * s
 
             return lax.fori_loop(0, repeats, body, x)
 
-        jax.block_until_ready(loop(x, params))        # compile + warm
+        zero = jnp.zeros((), x.dtype)
+        jax.block_until_ready(loop(x, params, zero))   # compile + warm
         t0 = time.perf_counter()
-        jax.block_until_ready(loop(x, params))
+        jax.block_until_ready(loop(x, params, zero))
         return (time.perf_counter() - t0) / repeats * 1e3
 
     return bench

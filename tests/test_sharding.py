@@ -31,17 +31,21 @@ def test_sharded_step_matches_single_device():
     solver = ExplicitBCHSolver(deck, cfg)
     fn = jax.jit(solver._chunk_fn(1))
 
+    from cfd_with_cuda_tpu.solvers.base import unpack_chunk_stats
+
     # single-device
     s0 = solver.initial_state()
-    s1, _, st1 = fn(solver.d, s0)
-    s2, _, st2 = fn(solver.d, s1)
+    s1, _ = fn(solver.d, s0)
+    s2, packed = fn(solver.d, s1)
+    st2, _ = unpack_chunk_stats(packed)
 
     # sharded over the fine-grid axis
     mesh = make_mesh(8)
     params = shard_params(solver.d, mesh, (solver.s_pad,))
     ss = shard_state(solver.initial_state(), mesh, (solver.s_pad,))
-    ss, _, _ = fn(params, ss)
-    ss, _, st2s = fn(params, ss)
+    ss, _ = fn(params, ss)
+    ss, packed_s = fn(params, ss)
+    st2s, _ = unpack_chunk_stats(packed_s)
 
     np.testing.assert_allclose(
         np.asarray(s2.un), np.asarray(ss.un), atol=1e-11
@@ -76,16 +80,20 @@ def test_sharded_implicit_step_matches_single_device():
     assert solver.structured and solver.s_pad > 9 ** 3  # padding is active
     fn = jax.jit(solver._chunk_fn(1))
 
+    from cfd_with_cuda_tpu.solvers.base import unpack_chunk_stats
+
     s0 = solver.initial_state()
-    s1, _, _ = fn(solver.d, s0)
-    s2, _, st2 = fn(solver.d, s1)
+    s1, _ = fn(solver.d, s0)
+    s2, packed = fn(solver.d, s1)
+    st2, _ = unpack_chunk_stats(packed)
 
     mesh = make_mesh(8)
     big = (solver.s_pad, int(solver.d["gq"].shape[-1]))
     params = shard_params(solver.d, mesh, big)
     ss = shard_state(solver.initial_state(), mesh, big)
-    ss, _, _ = fn(params, ss)
-    ss, _, st2s = fn(params, ss)
+    ss, _ = fn(params, ss)
+    ss, packed_s = fn(params, ss)
+    st2s, _ = unpack_chunk_stats(packed_s)
 
     np.testing.assert_allclose(np.asarray(s2.uk), np.asarray(ss.uk), atol=1e-10)
     np.testing.assert_allclose(np.asarray(s2.pk), np.asarray(ss.pk), atol=1e-9)
