@@ -1,0 +1,161 @@
+"""Pallas TPU kernels for windowed stencil operators (structured path).
+
+The XLA implementations (``ops.stencil``) apply a W^3-point spatially-
+varying stencil either as 125 rolled FMAs (``dia_spmv``) or by
+materializing every window with ``conv_general_dilated_patches``
+(``patches_spmv``) — the latter writes + re-reads a (W^3, S) patch tensor
+(15 MB on the 31^3 pressure grid, 113 MB per velocity channel on the
+61^3 grid) per application.  These kernels instead keep the (padded,
+halo-extended) field resident in VMEM and stream only the weight planes
+from HBM, so one application moves ``W^3 * S * 4`` bytes of weights and
+nothing else — the bandwidth lower bound.
+
+Layout contract (identical to the XLA path):
+
+* field ``x``: flat z-major grid, ``flat = (k*Sy + j)*Sx + i``;
+* weights ``win (W^3, S)`` in conv-patches channel order (z-major window
+  scan, ``DiaOperator.window_vals``): ``y[s] = sum_w win[w, s] *
+  x[s + off(w)]`` with ``off(w) = dz*Sx*Sy + dy*Sx + dx``;
+* out-of-range window reads hit an explicitly zero halo, and boundary
+  window weights are zero by construction (absent sparsity entries), so
+  results equal the zero-padded XLA path bit-for-bit in exact arithmetic.
+
+Three wrappers cover every structured operator:
+
+* :func:`pallas_window_spmv`      — shared window, C field channels
+  (K/A on velocity, Z on pressure; replaces ``dia_spmv``/``patches_spmv``)
+* :func:`pallas_grad_window`      — 3 windows, 1 field channel -> (3, S)
+  (G; replaces ``patches_grad_apply``'s core)
+* :func:`pallas_div_window`       — 3 windows, 3 field channels -> (S,)
+  (G^T; replaces ``patches_div_apply``'s core)
+
+Reference context: these replace cusparseDcsrmv on the device
+(``fractionalStep/explicit/Cpp/CUDAcodes.cu:960-1009``) for box-grid
+meshes; the CUDA reference had no structured fast path at all.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "pallas_window_spmv",
+    "pallas_grad_window",
+    "pallas_div_window",
+    "window_offsets",
+]
+
+BLK = 2048          # flat elements per program (16 sublanes x 128 lanes)
+
+
+def _interpret() -> bool:
+    """Run in interpreter mode off-TPU (CPU tests exercise the same
+    kernel logic; Mosaic compilation is TPU-only)."""
+    return jax.default_backend() != "tpu"
+
+
+def window_offsets(dims, radius: int) -> tuple[int, ...]:
+    """Flat offsets in window-channel order (z-major window scan)."""
+    sx, sy, _ = dims
+    out = []
+    for dz in range(-radius, radius + 1):
+        for dy in range(-radius, radius + 1):
+            for dx in range(-radius, radius + 1):
+                out.append(dz * sx * sy + dy * sx + dx)
+    return tuple(out)
+
+
+def _pad_args(win, x, dims, radius):
+    """Zero-pad field (halo) and weights (block multiple); static sizes."""
+    s = int(np.prod(dims))
+    halo = int(window_offsets(dims, radius)[-1])       # max |offset|
+    s_blk = -(-s // BLK) * BLK
+    n_blocks = s_blk // BLK
+    xb = x if x.ndim == 2 else x[None]
+    cx = xb.shape[0]
+    x_ext = jnp.pad(xb[:, :s], ((0, 0), (halo, s_blk - s + halo)))
+    wb = win if win.ndim == 3 else win[None]
+    wb = wb[..., :s]
+    if s_blk > s:
+        wb = jnp.pad(wb, ((0, 0), (0, 0), (0, s_blk - s)))
+    return wb, x_ext, cx, halo, s, s_blk, n_blocks
+
+
+def _stencil_call(wb, x_ext, *, offsets, halo, n_blocks, co, combine):
+    """Shared pallas_call: x resident in VMEM, weights streamed per block."""
+    cw, w3, s_blk = wb.shape
+
+    def kernel(x_ref, w_ref, o_ref):
+        s0 = pl.program_id(0) * BLK
+        acc = jnp.zeros((co, BLK), x_ref.dtype)
+        for w, off in enumerate(offsets):
+            xs = x_ref[:, pl.ds(s0 + halo + off, BLK)]   # (CX, BLK)
+            acc = acc + combine(w_ref[:, w, :], xs)
+        o_ref[:] = acc
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            # full halo-extended field stays in VMEM across programs
+            pl.BlockSpec(x_ext.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            # weight planes stream block-by-block (the only big traffic)
+            pl.BlockSpec((cw, w3, BLK), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((co, BLK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((co, s_blk), x_ext.dtype),
+        interpret=_interpret(),
+    )(x_ext, wb)
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "radius"))
+def pallas_window_spmv(win, x, dims, radius):
+    """y = A x, A as window-ordered stencil values (W^3, S); x (S,) or
+    (C, S) — drop-in for ``ops.stencil.patches_spmv`` / roll-based
+    ``dia_spmv`` (give it ``DiaOperator.window_vals()``)."""
+    offsets = window_offsets(dims, radius)
+    wb, x_ext, cx, halo, s, s_blk, nb = _pad_args(win, x, dims, radius)
+    out = _stencil_call(
+        wb, x_ext, offsets=offsets, halo=halo, n_blocks=nb, co=cx,
+        combine=lambda wv, xs: wv * xs,          # (1,BLK)*(CX,BLK) bcast
+    )
+    out = out[:, :s]
+    return out[0] if x.ndim == 1 else out
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "radius"))
+def pallas_grad_window(g_win, p_fine, dims, radius):
+    """(3, S) <- [G1 p, G2 p, G3 p]; ``g_win (3, W^3, S)``, ``p_fine (S,)``
+    the coarse field already embedded on the fine grid — the core of
+    ``ops.stencil.patches_grad_apply``."""
+    offsets = window_offsets(dims, radius)
+    wb, x_ext, _, halo, s, s_blk, nb = _pad_args(g_win, p_fine, dims, radius)
+    out = _stencil_call(
+        wb, x_ext, offsets=offsets, halo=halo, n_blocks=nb, co=3,
+        combine=lambda wv, xs: wv * xs,          # (3,BLK)*(1,BLK) bcast
+    )
+    return out[:, :s]
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "radius"))
+def pallas_div_window(gt_win, u, dims, radius):
+    """(S,) <- sum_d Gd^T u_d on the fine grid; ``gt_win (3, W^3, S)``,
+    ``u (3, S)`` — the core of ``ops.stencil.patches_div_apply`` (the
+    caller strides the result down to the coarse grid)."""
+    offsets = window_offsets(dims, radius)
+    wb, x_ext, _, halo, s, s_blk, nb = _pad_args(gt_win, u, dims, radius)
+    out = _stencil_call(
+        wb, x_ext, offsets=offsets, halo=halo, n_blocks=nb, co=1,
+        combine=lambda wv, xs: jnp.sum(wv * xs, axis=0, keepdims=True),
+    )
+    return out[0, :s]

@@ -403,6 +403,11 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
 
         un, pn, unp1_prev0 = state
         zeros_u = jnp.zeros_like(un)
+        # profiling scaffolding: scripts/ablate_step.py sets _ablate to
+        # compile step variants with components nulled out and recover
+        # per-component cost by subtraction (direct op timing through the
+        # axon tunnel is unreliable); never set in production
+        abl = getattr(self, "_ablate", ())
 
         if self.structured:
             from cfd_with_cuda_tpu.ops.stencil import (
@@ -444,11 +449,22 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         else:
             precond = lambda r: r / d["Z_diag"]
 
+        from cfd_with_cuda_tpu.ops.krylov import KrylovResult
+
+        if "kmul" in abl:
+            k_mul = lambda u: u * 0.0
+        if "grad" in abl:
+            grad = lambda p: zeros_u
+        if "div" in abl:
+            div = lambda u: pn * 0.0
+
         def pressure_solve(r2):
+            if "cg" in abl:
+                return KrylovResult(precond(r2), jnp.asarray(0), jnp.asarray(0.0))
             return cg(
                 z_mul, r2,
                 tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,
-                precond=precond,
+                precond=precond, dot_dtype=cfg.krylov_dot_dtype(),
             )
 
         mask = d["bc_mask"][None, :]
@@ -459,7 +475,9 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
 
             # ---- step1: R1 = -K u* - A(un) u* - G pn  (ref :3712-3783)
             r1 = -k_mul(unp_half_prev)
-            if self.structured and self.elem_structured:
+            if "conv" in abl:
+                pass
+            elif self.structured and self.elem_structured:
                 Sr2 = self.nn
                 conv = convection_apply_stencil(
                     un[:, :Sr2], unp_half_prev[:, :Sr2], d["Sv"], d["gDSv"],
@@ -511,6 +529,10 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
 
         def cond(carry):
             it, conv = carry[0], carry[1]
+            if abl:
+                # ablation timing: always run the full sub-iteration count
+                # (nulled components would otherwise fake convergence)
+                return it <= deck.max_iter
             return (it <= deck.max_iter) & (~conv)
 
         init = (

@@ -1,0 +1,128 @@
+"""Benchmark matrix: the BASELINE.json configs beyond the headline one.
+
+Rows (BASELINE.json:6-12; the headline explicit-cavity row is bench.py):
+  implicit   — implicit GQ fractional step, NE27000 cavity, f32
+  explicit64 — explicit BCH, NE27000 cavity, f64 (the reference's actual
+               precision, blascoCodinaHuerta.cpp:130-134)
+  mixed      — explicit BCH, f32 state + f64 Krylov reductions
+  ell        — explicit BCH with structured="never": the unstructured
+               ELL/gather path every converter-imported mesh takes
+  duct       — square duct 48x32x32 (regenerates the missing
+               bendingSquareDuct_49x33x33 class via the channel generator)
+
+Appends measured rows to BENCH_MATRIX.md.  Run ALONE on an idle host:
+the axon TPU relay shares the single CPU core and concurrent load
+inflates wall-clock ~15x.
+
+Usage: python scripts/bench_matrix.py [row ...]   (default: all)
+"""
+
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+REF_DECK = "/root/reference/inputFiles/lidDrivenCavity/lidDrivenCavity_NE27000.inp"
+OUT = REPO / "BENCH_MATRIX.md"
+
+
+def cavity():
+    from cfd_with_cuda_tpu.io.deck import read_deck
+    from cfd_with_cuda_tpu.mesh.generators import cavity_deck
+
+    if os.path.exists(REF_DECK):
+        return read_deck(REF_DECK)
+    return cavity_deck(30, cluster=2.0, viscosity=0.01, dt=0.001)
+
+
+def measure(solver, n_measure, chunk):
+    state, hist = solver.run(n_steps=chunk)              # compile + warm
+    t0 = time.time()
+    state, hist = solver.run(state, n_steps=n_measure)
+    ms = (time.time() - t0) / n_measure * 1e3
+    return ms, hist[-1]
+
+
+def run_row(name):
+    from cfd_with_cuda_tpu.mesh.generators import channel_deck
+    from cfd_with_cuda_tpu.solvers.explicit_bch import ExplicitBCHSolver
+    from cfd_with_cuda_tpu.solvers.implicit_gq import ImplicitGQSolver
+    from cfd_with_cuda_tpu.utils.config import DTypePolicy, SolverConfig
+
+    chunk = 10
+    kw: dict = dict(
+        pressure_cg_tol=1e-6, steps_per_chunk=chunk, setup_cache="auto",
+    )
+    if name == "implicit":
+        deck, cls = cavity(), ImplicitGQSolver
+        cfg = SolverConfig(dtype_policy=DTypePolicy.F32, **kw)
+        n = 50
+    elif name == "explicit64":
+        deck, cls = cavity(), ExplicitBCHSolver
+        cfg = SolverConfig(dtype_policy=DTypePolicy.F64, **kw)
+        n = 20
+    elif name == "mixed":
+        deck, cls = cavity(), ExplicitBCHSolver
+        cfg = SolverConfig(dtype_policy=DTypePolicy.MIXED, **kw)
+        n = 50
+    elif name == "ell":
+        deck, cls = cavity(), ExplicitBCHSolver
+        cfg = SolverConfig(
+            dtype_policy=DTypePolicy.F32, structured="never", **kw
+        )
+        n = 10
+    elif name == "duct":
+        deck = channel_deck(
+            48, 32, 32, lengths=(6.0, 1.0, 1.0), cluster=1.5,
+            viscosity=0.01, dt=0.002, t_final=10.0,
+        )
+        cls = ExplicitBCHSolver
+        cfg = SolverConfig(dtype_policy=DTypePolicy.F32, **kw)
+        n = 50
+    else:
+        raise SystemExit(f"unknown row {name!r}")
+
+    t0 = time.time()
+    solver = cls(deck, cfg)
+    setup = time.time() - t0
+    t0 = time.time()
+    ms, h = measure(solver, n, chunk)
+    row = (
+        f"| {name} | {ms:.1f} | {int(h['cg_iters'])} | {int(h['mom_iters'])} "
+        f"| {int(h['iters'])} | {setup:.0f} | structured={solver.structured}"
+        f" mg={solver.use_mg} u_mon={h['u_mon']:+.5f} |"
+    )
+    print(row, flush=True)
+    return row
+
+
+HEADER = (
+    "| config | ms/step | cg_iters | mom_iters | subiters | setup_s | notes |\n"
+    "|---|---|---|---|---|---|---|\n"
+)
+
+
+def main():
+    from cfd_with_cuda_tpu.utils.setup_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    rows = sys.argv[1:] or ["implicit", "explicit64", "mixed", "ell", "duct"]
+    results = []
+    for name in rows:
+        try:
+            results.append(run_row(name))
+        except Exception as e:  # noqa: BLE001 — keep measuring other rows
+            results.append(f"| {name} | FAILED: {type(e).__name__}: {e} |")
+            print(results[-1], flush=True)
+    stamp = time.strftime("%Y-%m-%d %H:%M")
+    with OUT.open("a") as f:
+        f.write(f"\n## {stamp} (NE27000 cavity unless noted)\n\n{HEADER}")
+        f.write("\n".join(results) + "\n")
+    print(f"appended {len(results)} rows to {OUT}")
+
+
+if __name__ == "__main__":
+    main()
