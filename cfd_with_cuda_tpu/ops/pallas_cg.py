@@ -1,0 +1,196 @@
+"""Fused Pallas CG for the pressure-Poisson solve (structured path).
+
+The ablation study (scripts/ablate_step.py) shows the explicit NE27000
+step is ~98% pressure CG: ~0.6 ms per CG iteration on the tiny 31^3
+coarse grid, all per-op overhead — the XLA body is ~25 separate ops and
+its Z apply materializes a (125, NNp) patch tensor through a badly
+shaped 3-D convolution.  Everything else in the step costs 2.6 ms.
+
+This kernel runs ONE ENTIRE Jacobi-preconditioned CG iteration as a
+single-program ``pallas_call``:
+
+* the window-form operator values ``win (W^3, S)`` — the only big
+  operand (15 MB for the radius-2 product operator Z = G^T Md^-1 G) —
+  stay in HBM and stream through a double-buffered async-copy pipeline
+  in KP-plane blocks (~1 MB each);
+* the iterate vectors (~120 KB each) live in VMEM; every stencil
+  offset is a *static* python constant (Mosaic rejects dynamic
+  unaligned lane slices), so the plane loop is fully unrolled;
+* the tail performs every dot/axpy of the iteration (alpha, x, r,
+  z = r*dinv, rz, beta, p) in-register.
+
+The XLA-level ``lax.while_loop`` carries only the vectors and two
+scalars, so a CG iteration is ONE op (weight streaming at HBM
+bandwidth plus fixed kernel cost) instead of ~25 separate ops.
+
+Same math as ``ops.krylov.cg`` with Jacobi preconditioning, including
+the ``_safe_div`` breakdown guards; parity test:
+``tests/test_pallas_cg.py``.  Reference role: the pressure solvers
+``MKL_CG_solver`` (``blascoCodinaHuerta.cpp:3981-4055``, Jacobi,
+tol 1e-12) and ``CUSP_CG_solver`` (``CUDAcodes.cu:418-451``, Jacobi,
+tol 1e-6).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cfd_with_cuda_tpu.ops.krylov import KrylovResult
+
+__all__ = ["fused_cg"]
+
+KP = 16             # weight planes per DMA block (~2 MB at 31^3)
+_DIV_FLOOR = 1e-35  # matches ops.krylov._DIV_FLOOR
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _safe_div(a, b):
+    ok = jnp.abs(b) > _DIV_FLOOR
+    return jnp.where(ok, a / jnp.where(ok, b, 1.0), 0.0)
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _cg_iter_kernel(
+    win_ref, x_ref, r_ref, pext_ref, dinv_ref, rz_ref,
+    xo_ref, ro_ref, pexto_ref, rzo_ref, rno_ref,
+    wbuf, sem,
+    *, offs: tuple[int, ...], halo: int, s_pad: int, nb: int,
+):
+    """One full CG iteration; win streamed HBM->VMEM double-buffered."""
+    w3 = len(offs)
+
+    def dma(slot, blk):
+        return pltpu.make_async_copy(win_ref.at[blk], wbuf.at[slot], sem.at[slot])
+
+    dma(0, 0).start()
+    ap = jnp.zeros((1, s_pad), x_ref.dtype)
+    for b in range(nb):
+        if b + 1 < nb:
+            dma((b + 1) % 2, b + 1).start()
+        dma(b % 2, b).wait()
+        for j in range(KP):
+            idx = b * KP + j
+            if idx >= w3:
+                break
+            ap = ap + (
+                wbuf[b % 2, j, :][None, :]
+                * pext_ref[:, pl.ds(halo + offs[idx], s_pad)]
+            )
+
+    p = pext_ref[:, pl.ds(halo, s_pad)]
+    rz = rz_ref[0, 0]
+    alpha = _safe_div(rz, jnp.sum(p * ap))
+    x = x_ref[:] + alpha * p
+    r = r_ref[:] - alpha * ap
+    z = r * dinv_ref[:]
+    rz_new = jnp.sum(r * z)
+    beta = _safe_div(rz_new, rz)
+    p_new = z + beta * p
+    xo_ref[:] = x
+    ro_ref[:] = r
+    pexto_ref[:] = jnp.zeros_like(pexto_ref)
+    pexto_ref[:, pl.ds(halo, s_pad)] = p_new
+    rzo_ref[0, 0] = rz_new
+    rno_ref[0, 0] = jnp.sqrt(jnp.sum(r * r))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dims", "radius", "tol", "maxiter")
+)
+def fused_cg(win, b, dinv, *, dims, radius, tol, maxiter):
+    """Jacobi-preconditioned CG on a windowed stencil operator.
+
+    ``win (W^3, S)`` window-ordered stencil values (layout contract of
+    ``ops.pallas_stencil``: zero weights at boundary/absent entries),
+    ``b (S,)`` RHS, ``dinv (S,)`` inverse diagonal.  Returns
+    :class:`KrylovResult` with ``x (S,)``.  f32 only (TPU f64 is
+    emulated and unsupported in Mosaic kernels); callers with F64/MIXED
+    policies use the XLA path.
+    """
+    sx, sy, _ = dims
+    w = 2 * radius + 1
+    w3 = w * w * w
+    s = int(np.prod(dims))
+    assert win.shape == (w3, s), (win.shape, (w3, s))
+    dtype = b.dtype
+
+    # window-channel order: z-major scan (ops.pallas_stencil)
+    offs = tuple(
+        dz * sx * sy + dy * sx + dx
+        for dz in range(-radius, radius + 1)
+        for dy in range(-radius, radius + 1)
+        for dx in range(-radius, radius + 1)
+    )
+    halo = -offs[0]
+    s_pad = _round_up(s, 128)
+    s_ext = _round_up(s_pad + 2 * halo, 128)
+    nb = _round_up(w3, KP) // KP
+
+    win_p = jnp.zeros((nb * KP, s_pad), dtype)
+    win_p = win_p.at[:w3, :s].set(win)
+    win_p = win_p.reshape(nb, KP, s_pad)
+    b_p = jnp.zeros((1, s_pad), dtype).at[0, :s].set(b)
+    dinv_p = jnp.zeros((1, s_pad), dtype).at[0, :s].set(dinv)
+
+    kernel = functools.partial(
+        _cg_iter_kernel, offs=offs, halo=halo, s_pad=s_pad, nb=nb,
+    )
+    vec = lambda n: pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),      # win stays in HBM
+            vec(s_pad), vec(s_pad), vec(s_ext), vec(s_pad), smem,
+        ],
+        out_specs=[vec(s_pad), vec(s_pad), vec(s_ext), smem, smem],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, s_pad), dtype),
+            jax.ShapeDtypeStruct((1, s_pad), dtype),
+            jax.ShapeDtypeStruct((1, s_ext), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, KP, s_pad), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_interpret(),
+    )
+
+    # x0 = 0: r = b, z = r*dinv, p = z  (ops.krylov.cg init)
+    r0 = b_p
+    z0 = r0 * dinv_p
+    rz0 = jnp.sum(r0 * z0).reshape(1, 1)
+    rn0 = jnp.sqrt(jnp.sum(r0 * r0))
+    p_ext0 = jnp.zeros((1, s_ext), dtype).at[0, halo:halo + s_pad].set(z0[0])
+    bound = jnp.maximum(tol * rn0, 0.0)
+
+    def cond(carry):
+        x, r, p_ext, rz, rn, k = carry
+        return (k < maxiter) & (rn > bound)
+
+    def body(carry):
+        x, r, p_ext, rz, rn, k = carry
+        x, r, p_ext, rz, rn = call(win_p, x, r, p_ext, dinv_p, rz)
+        return x, r, p_ext, rz, rn[0, 0], k + 1
+
+    x0 = jnp.zeros((1, s_pad), dtype)
+    x, r, p_ext, rz, rn, k = lax.while_loop(
+        cond, body, (x0, r0, p_ext0, rz0, rn0, jnp.asarray(0))
+    )
+    return KrylovResult(x[0, :s], k, rn)

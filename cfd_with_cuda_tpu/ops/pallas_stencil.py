@@ -72,31 +72,56 @@ def window_offsets(dims, radius: int) -> tuple[int, ...]:
     return tuple(out)
 
 
-def _pad_args(win, x, dims, radius):
-    """Zero-pad field (halo) and weights (block multiple); static sizes."""
+def _pad_args(win, x, dims, offsets):
+    """Zero-pad field (halo) and weights (block multiple); static sizes.
+
+    Fast path: when ``win``/``x`` arrive with their last axis already a
+    BLK multiple (the solvers pre-pad device arrays to ``shard_pad``
+    2048, with zero weights in the padding), the 15-340 MB weight
+    pad/copy is skipped entirely — only the cheap halo extension of the
+    field remains.
+    """
     s = int(np.prod(dims))
-    halo = int(window_offsets(dims, radius)[-1])       # max |offset|
-    s_blk = -(-s // BLK) * BLK
-    n_blocks = s_blk // BLK
+    halo = max(abs(int(o)) for o in offsets)
     xb = x if x.ndim == 2 else x[None]
     cx = xb.shape[0]
-    x_ext = jnp.pad(xb[:, :s], ((0, 0), (halo, s_blk - s + halo)))
     wb = win if win.ndim == 3 else win[None]
-    wb = wb[..., :s]
-    if s_blk > s:
-        wb = jnp.pad(wb, ((0, 0), (0, 0), (0, s_blk - s)))
+    if wb.shape[-1] % BLK == 0 and xb.shape[-1] == wb.shape[-1]:
+        s_blk = wb.shape[-1]                           # pre-padded
+        x_in = xb
+    else:
+        s_blk = -(-s // BLK) * BLK
+        x_in = xb[:, :s]
+        wb = wb[..., :s]
+        if s_blk > s:
+            wb = jnp.pad(wb, ((0, 0), (0, 0), (0, s_blk - s)))
+    n_blocks = s_blk // BLK
+    # +128 tail: the kernel reads 128-aligned supersets of each shifted
+    # window (see _stencil_call), which can overrun by up to 128 lanes
+    x_ext = jnp.pad(x_in, ((0, 0), (halo, s_blk - x_in.shape[-1] + halo + 128)))
     return wb, x_ext, cx, halo, s, s_blk, n_blocks
 
 
 def _stencil_call(wb, x_ext, *, offsets, halo, n_blocks, co, combine):
-    """Shared pallas_call: x resident in VMEM, weights streamed per block."""
+    """Shared pallas_call: x resident in VMEM, weights streamed per block.
+
+    Mosaic only allows dynamic lane-dim slice starts that are provably
+    128-aligned, so each shifted window read loads the 128-aligned
+    superset ``[s0 + align, s0 + align + BLK + 128)`` (``s0`` and
+    ``align`` both multiples of 128) and takes the static in-register
+    sub-slice ``[rem, rem + BLK)``.
+    """
     cw, w3, s_blk = wb.shape
 
     def kernel(x_ref, w_ref, o_ref):
         s0 = pl.program_id(0) * BLK
         acc = jnp.zeros((co, BLK), x_ref.dtype)
         for w, off in enumerate(offsets):
-            xs = x_ref[:, pl.ds(s0 + halo + off, BLK)]   # (CX, BLK)
+            start = halo + off
+            align = (start // 128) * 128
+            rem = start - align
+            xs = x_ref[:, pl.ds(s0 + align, BLK + 128)]   # (CX, BLK+128)
+            xs = jax.lax.slice_in_dim(xs, rem, rem + BLK, axis=1)
             acc = acc + combine(w_ref[:, w, :], xs)
         o_ref[:] = acc
 
@@ -118,33 +143,42 @@ def _stencil_call(wb, x_ext, *, offsets, halo, n_blocks, co, combine):
     )(x_ext, wb)
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "radius"))
-def pallas_window_spmv(win, x, dims, radius):
+@functools.partial(jax.jit, static_argnames=("dims", "radius", "offsets", "trim"))
+def pallas_window_spmv(win, x, dims, radius=None, *, offsets=None, trim=True):
     """y = A x, A as window-ordered stencil values (W^3, S); x (S,) or
     (C, S) — drop-in for ``ops.stencil.patches_spmv`` / roll-based
-    ``dia_spmv`` (give it ``DiaOperator.window_vals()``)."""
-    offsets = window_offsets(dims, radius)
-    wb, x_ext, cx, halo, s, s_blk, nb = _pad_args(win, x, dims, radius)
+    ``dia_spmv`` (give it ``DiaOperator.window_vals()``).
+
+    Pass ``offsets`` (a static tuple of flat shifts) instead of
+    ``radius`` to apply a sparse-offset DIA operator (e.g. ``K_vals``
+    with ``DiaOperator.flat_offsets``) without densifying to the full
+    window.  ``trim=False`` returns the BLK-padded result (zeros beyond
+    S) so pre-padded callers avoid the trim-then-repad round trip.
+    """
+    if offsets is None:
+        offsets = window_offsets(dims, radius)
+    wb, x_ext, cx, halo, s, s_blk, nb = _pad_args(win, x, dims, offsets)
     out = _stencil_call(
         wb, x_ext, offsets=offsets, halo=halo, n_blocks=nb, co=cx,
         combine=lambda wv, xs: wv * xs,          # (1,BLK)*(CX,BLK) bcast
     )
-    out = out[:, :s]
+    if trim:
+        out = out[:, :s]
     return out[0] if x.ndim == 1 else out
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "radius"))
-def pallas_grad_window(g_win, p_fine, dims, radius):
+@functools.partial(jax.jit, static_argnames=("dims", "radius", "trim"))
+def pallas_grad_window(g_win, p_fine, dims, radius, *, trim=True):
     """(3, S) <- [G1 p, G2 p, G3 p]; ``g_win (3, W^3, S)``, ``p_fine (S,)``
     the coarse field already embedded on the fine grid — the core of
     ``ops.stencil.patches_grad_apply``."""
     offsets = window_offsets(dims, radius)
-    wb, x_ext, _, halo, s, s_blk, nb = _pad_args(g_win, p_fine, dims, radius)
+    wb, x_ext, _, halo, s, s_blk, nb = _pad_args(g_win, p_fine, dims, offsets)
     out = _stencil_call(
         wb, x_ext, offsets=offsets, halo=halo, n_blocks=nb, co=3,
         combine=lambda wv, xs: wv * xs,          # (3,BLK)*(1,BLK) bcast
     )
-    return out[:, :s]
+    return out[:, :s] if trim else out
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "radius"))
@@ -153,7 +187,7 @@ def pallas_div_window(gt_win, u, dims, radius):
     ``u (3, S)`` — the core of ``ops.stencil.patches_div_apply`` (the
     caller strides the result down to the coarse grid)."""
     offsets = window_offsets(dims, radius)
-    wb, x_ext, _, halo, s, s_blk, nb = _pad_args(gt_win, u, dims, radius)
+    wb, x_ext, _, halo, s, s_blk, nb = _pad_args(gt_win, u, dims, offsets)
     out = _stencil_call(
         wb, x_ext, offsets=offsets, halo=halo, n_blocks=nb, co=1,
         combine=lambda wv, xs: jnp.sum(wv * xs, axis=0, keepdims=True),

@@ -132,6 +132,30 @@ def gather_elem_stencil(u: jax.Array, elem_dims, fine_dims) -> jax.Array:
     return pat.reshape(c, 27, -1)
 
 
+def place_elem_field(
+    v: jax.Array, off: tuple[int, int, int], elem_dims, fine_dims
+) -> jax.Array:
+    """(C, S) <- per-element values placed at ONE local window offset.
+
+    One interior-dilated ``lax.pad`` puts element (I,J,K)'s value at fine
+    node (2I+ox, 2J+oy, 2K+oz) — the stride-2 element lattice."""
+    ex, ey, ez = elem_dims
+    fx, fy, fz = fine_dims
+    ox, oy, oz = off
+    c = v.shape[0]
+    v3 = v.reshape(c, ez, ey, ex)
+    padded = lax.pad(
+        v3, jnp.zeros((), v.dtype),
+        (
+            (0, 0, 0),
+            (oz, fz - oz - (2 * ez - 1), 1),
+            (oy, fy - oy - (2 * ey - 1), 1),
+            (ox, fx - ox - (2 * ex - 1), 1),
+        ),
+    )
+    return padded.reshape(c, -1)
+
+
 def scatter_elem_stencil(
     r_e: jax.Array, local_off, elem_dims, fine_dims
 ) -> jax.Array:
@@ -142,22 +166,9 @@ def scatter_elem_stencil(
     (one zero between elements) plus edge offsets — a dense XLA op chain,
     no scatter.  Replaces ``segment_sum`` on the structured path.
     """
-    ex, ey, ez = elem_dims
-    fx, fy, fz = fine_dims
-    c = r_e.shape[0]
     acc = 0.0
-    for i, (ox, oy, oz) in enumerate(local_off):
-        v = r_e[:, i].reshape(c, ez, ey, ex)
-        padded = lax.pad(
-            v, jnp.zeros((), v.dtype),
-            (
-                (0, 0, 0),
-                (oz, fz - oz - (2 * ez - 1), 1),
-                (oy, fy - oy - (2 * ey - 1), 1),
-                (ox, fx - ox - (2 * ex - 1), 1),
-            ),
-        )
-        acc = acc + padded.reshape(c, -1)
+    for i, off in enumerate(local_off):
+        acc = acc + place_elem_field(r_e[:, i], off, elem_dims, fine_dims)
     return acc
 
 

@@ -88,6 +88,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         "local_off", "k_offsets", "z_radius", "g_radius", "gt_radius",
         "s_pad", "pin_grid", "monitor_node", "monitor_node_deck",
         "bc_of_node", "use_mg", "mg_dims", "mg_radii", "mg_omegas",
+        "_pallas_layout", "conv_oij",
     )
 
     # ------------------------------------------------------------------ setup
@@ -98,10 +99,17 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
 
         from cfd_with_cuda_tpu.utils import setup_cache as sc
 
+        # decided at setup: the fused Pallas path wants device arrays
+        # pre-padded to the kernel block multiple (backend-dependent, so
+        # it participates in the cache fingerprint)
+        self._pallas_layout = cfg.fused_pressure_eligible()
+
         cache_dir = cfg.setup_cache_dir()
         cache_key = None
         if cache_dir:
-            cache_key = sc.deck_fingerprint(deck, cfg, type(self).__name__)
+            cache_key = sc.deck_fingerprint(
+                deck, cfg, type(self).__name__, self._pallas_layout
+            )
             snap = sc.snapshot_load(cache_dir, cache_key)
             if snap is not None:
                 sc.solver_restore(self, snap)
@@ -330,8 +338,14 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         }
         # sharding pad: zero-pad every fine-grid axis to a multiple of
         # shard_pad (padding rows carry zero operator values, so results
-        # are unchanged; see utils/config.SolverConfig.shard_pad)
+        # are unchanged; see utils/config.SolverConfig.shard_pad).  Under
+        # the Pallas layout the pad also aligns to the kernel block size
+        # so the windowed kernels skip their per-call weight pads.
         pad = max(1, int(self.config.shard_pad))
+        if self._pallas_layout:
+            from cfd_with_cuda_tpu.ops.pallas_stencil import BLK
+
+            pad = int(np.lcm(pad, BLK))
         self.s_pad = -(-S // pad) * pad
         if self.s_pad > S:
             extra = self.s_pad - S
@@ -340,6 +354,22 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                 if v.ndim >= 1 and v.shape[-1] == S and key not in ("ltog",):
                     widths = [(0, 0)] * (v.ndim - 1) + [(0, extra)]
                     self.d[key] = np.pad(v, widths)
+        # channel-pair -> K DIA offset-index table: on a box grid, every
+        # elemental entry (i, j) lands at the FIXED window offset
+        # fo(j) - fo(i), so the fused path assembles A(un) into K's DIA
+        # rows with 27 dilated-pad placements + static add chains — no
+        # runtime scatter (jax segment_sum lowers to a 19.7M-element
+        # device sort, measured 220 ms/step)
+        if self.elem_structured:
+            fo = [ox + fx * (oy + fy * oz) for (ox, oy, oz) in self.local_off]
+            off_index = {o: idx for idx, o in enumerate(self.k_offsets)}
+            nen = len(self.local_off)
+            self.conv_oij = tuple(
+                tuple(off_index[fo[j] - fo[i]] for j in range(nen))
+                for i in range(nen)
+            )
+        else:
+            self.conv_oij = None
         self.pin_grid = int(perm_p[self.pin]) if self.pin > 0 else -1
         mon = find_monitor_node(
             deck.coords,
@@ -458,9 +488,91 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         if "div" in abl:
             div = lambda u: pn * 0.0
 
+        # fused Pallas path (ops/pallas_cg.py + ops/pallas_stencil.py):
+        # the ablation study shows the XLA CG body is ~98% of step time,
+        # and a trace shows the XLA patch-extraction convolutions degrade
+        # badly when co-resident with Pallas custom calls in the loop
+        # body — so the fused path goes Pallas for EVERY windowed
+        # operator (Z-CG, G, G^T, K, K+A) and assembles the convection
+        # operator A(un) into K's DIA slots once per time step.
+        use_fused = self.structured and cfg.fused_pressure_eligible()
+        fused_conv = use_fused and self.elem_structured and "conv" not in abl
+        if use_fused:
+            from cfd_with_cuda_tpu.ops.pallas_cg import fused_cg
+            from cfd_with_cuda_tpu.ops.pallas_stencil import (
+                pallas_div_window,
+                pallas_grad_window,
+                pallas_window_spmv,
+            )
+            from cfd_with_cuda_tpu.ops.stencil import (
+                coarse_to_fine,
+                fine_to_coarse,
+                gather_elem_stencil,
+            )
+
+            Sr3 = self.nn
+            sp = self.s_pad
+            if "kmul" not in abl:
+                k_mul = lambda u: pallas_window_spmv(
+                    d["K_vals"], u, self.fine_dims,
+                    offsets=self.k_offsets, trim=False,
+                )
+            if "grad" not in abl:
+                def grad(p):
+                    pf = coarse_to_fine(p, self.coarse_dims, self.fine_dims)
+                    return pallas_grad_window(
+                        d["G_win"], jnp.pad(pf, (0, sp - Sr3)),
+                        self.fine_dims, self.g_radius, trim=False,
+                    )
+            if "div" not in abl:
+                div = lambda u: fine_to_coarse(
+                    pallas_div_window(
+                        d["GT_win"], u, self.fine_dims, self.gt_radius,
+                    ),
+                    self.coarse_dims, self.fine_dims,
+                )
+        if fused_conv:
+            # A(un) into K's DIA rows ONCE per step (un is fixed across
+            # sub-iterations, ref calculateMatrixA uses Un :3520-3685);
+            # each sub-iteration then applies (K+A) as one Pallas stencil
+            # instead of re-running the matrix-free gather/scatter chain.
+            # Entry (i, j) of every element lands at window offset
+            # conv_oij[i][j], so assembly = 27 dilated-pad placements +
+            # static add chains (place_elem_field; no device scatter).
+            from cfd_with_cuda_tpu.ops.stencil import place_elem_field
+
+            u0_e = gather_elem_stencil(un[:, :Sr3], self.elem_dims, self.fine_dims)
+            u0_gq = jnp.einsum("ki,die->dke", d["Sv"], u0_e)
+            udotg = jnp.einsum("dke,djke->jke", u0_gq, d["gDSv"])
+            ae = jnp.einsum("ki,ke,jke->ije", d["Sv"], d["gq"], udotg)
+            n_off = len(self.k_offsets)
+            nen = len(self.local_off)
+            rows: list = [None] * n_off
+            for i in range(nen):
+                placed = place_elem_field(
+                    ae[i], self.local_off[i], self.elem_dims, self.fine_dims
+                )
+                placed = jnp.pad(placed, ((0, 0), (0, sp - Sr3)))
+                for j in range(nen):
+                    o = self.conv_oij[i][j]
+                    rows[o] = placed[j] if rows[o] is None else rows[o] + placed[j]
+            zero_row = jnp.zeros(sp, un.dtype)
+            conv_vals = jnp.stack([r if r is not None else zero_row for r in rows])
+            ka_vals = d["K_vals"] + conv_vals
+            ka_mul = lambda u: pallas_window_spmv(
+                ka_vals, u, self.fine_dims,
+                offsets=self.k_offsets, trim=False,
+            )
+
         def pressure_solve(r2):
             if "cg" in abl:
                 return KrylovResult(precond(r2), jnp.asarray(0), jnp.asarray(0.0))
+            if use_fused:
+                return fused_cg(
+                    d["Z_win"][:, :self.nnp], r2, 1.0 / d["Z_diag"],
+                    dims=self.coarse_dims, radius=self.z_radius,
+                    tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,
+                )
             return cg(
                 z_mul, r2,
                 tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,
@@ -474,8 +586,11 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
              k_acc_prev, _unp1, _pnp1, _cgit) = carry
 
             # ---- step1: R1 = -K u* - A(un) u* - G pn  (ref :3712-3783)
-            r1 = -k_mul(unp_half_prev)
-            if "conv" in abl:
+            if fused_conv:
+                r1 = -ka_mul(unp_half_prev)       # (K + A(un)) u* fused
+            else:
+                r1 = -k_mul(unp_half_prev)
+            if "conv" in abl or fused_conv:
                 pass
             elif self.structured and self.elem_structured:
                 Sr2 = self.nn

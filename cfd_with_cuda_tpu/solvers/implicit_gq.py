@@ -69,7 +69,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         "nn", "nnp", "pin", "dt", "structured", "elem_structured", "perm",
         "perm_p", "fine_dims", "coarse_dims", "elem_dims", "chan_order",
         "local_off", "a_offsets", "a_zero_off", "z_radius", "g_radius",
-        "gt_radius", "_dia_nslots", "_dia_shape", "_ell_shape", "_nnz",
+        "gt_radius", "conv_oij", "_ell_shape", "_nnz",
         "s_pad", "pin_grid", "monitor_node", "use_mg", "mg_dims", "mg_radii",
         "mg_omegas",
     )
@@ -250,7 +250,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         elem_perm, elem_dims, local = em
 
         MK = pat.to_scipy(mk_vals)
-        mk_dia, slots = dia_from_csr(MK, perm, perm, gi.dims, return_slots=True)
+        mk_dia = dia_from_csr(MK, perm, perm, gi.dims)
         m_dia = dia_from_csr(pat.to_scipy(ops.M), perm, perm, gi.dims)
         z_dia = dia_from_csr(Z, perm_p, perm_p, gi_p.dims)
         g_dias = [dia_from_csr(ops.G_csr(d), perm, embed, gi.dims) for d in range(3)]
@@ -290,18 +290,18 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         self.s_pad = -(-S // pad) * pad
         n_off = mk_dia.vals.shape[0]
 
-        # elemental (channel_i, channel_j, grid_elem) -> DIA flat slot,
-        # remapped from the (n_off, S) to the padded (n_off, s_pad) layout
-        nnz_slots = np.asarray(slots)
-        nnz_slots = (nnz_slots // S) * self.s_pad + nnz_slots % S
-        scatter = nnz_slots[pat.scatter]                 # (NE, a, b) deck order
-        scatter = scatter[:, order][:, :, order]         # channel-ordered locals
-        scatter_g = np.empty_like(scatter)
-        scatter_g[elem_perm] = scatter                   # element-grid order
-        scatter_g = np.transpose(scatter_g, (1, 2, 0))   # (a, b, NE)
-
-        self._dia_nslots = n_off * self.s_pad
-        self._dia_shape = (n_off, self.s_pad)
+        # channel-pair -> DIA offset-index table: entry (i, j) of every
+        # element lands at the fixed window offset fo(j) - fo(i), so the
+        # per-step LHS assembly is 27 dilated-pad placements + static add
+        # chains (no device scatter — jax segment_sum lowers to a
+        # 19.7M-element sort, measured ~220 ms/step)
+        fo = [ox + fx * (oy + fy * oz) for (ox, oy, oz) in self.local_off]
+        off_index = {o: idx for idx, o in enumerate(self.a_offsets)}
+        nen = len(self.local_off)
+        self.conv_oij = tuple(
+            tuple(off_index[fo[j] - fo[i]] for j in range(nen))
+            for i in range(nen)
+        )
 
         def permute_vec(v):
             out = np.empty_like(v)
@@ -333,7 +333,6 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             "Sv": dev(Sv_t),
             "gDSv": dev(gDSv_t),
             "gq": dev(gq_t),
-            "scatter_dia": np.asarray(scatter_g, dtype=np.int32),
             "MK_vals": dev(mk_dia.vals),
             "M_vals": dev(m_dia.vals),
             "row_mask_grid": dev(permute_vec(bc_mask)),
@@ -426,15 +425,29 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         S = int(np.prod(self.fine_dims))      # real fine-grid size (<= s_pad)
         pad_u = lambda y: jnp.pad(y, ((0, 0), (0, self.s_pad - S)))
 
-        # A = M/dt + K + A(u^k): convection assembled into DIA value slots
+        # A = M/dt + K + A(u^k): convection assembled into DIA rows via
+        # 27 dilated-pad placements + static add chains (conv_oij maps
+        # each (i, j) channel pair to its fixed window offset — no
+        # device scatter; see the explicit solver's fused_conv block)
+        from cfd_with_cuda_tpu.ops.stencil import place_elem_field
+
         u0_e = gather_elem_stencil(uk_prev[:, :S], self.elem_dims, self.fine_dims)
         u0_gq = jnp.einsum("ki,die->dke", d["Sv"], u0_e)
         udotg = jnp.einsum("dke,djke->jke", u0_gq, d["gDSv"])
         ae = jnp.einsum("ki,ke,jke->ije", d["Sv"], d["gq"], udotg)
-        conv_vals = jax.ops.segment_sum(
-            ae.reshape(-1), d["scatter_dia"].reshape(-1),
-            num_segments=self._dia_nslots,
-        ).reshape(self._dia_shape)
+        n_off = len(self.a_offsets)
+        nen = len(self.local_off)
+        rows: list = [None] * n_off
+        for i in range(nen):
+            placed = place_elem_field(
+                ae[i], self.local_off[i], self.elem_dims, self.fine_dims
+            )
+            placed = jnp.pad(placed, ((0, 0), (0, self.s_pad - S)))
+            for j in range(nen):
+                o = self.conv_oij[i][j]
+                rows[o] = placed[j] if rows[o] is None else rows[o] + placed[j]
+        zero_row = jnp.zeros(self.s_pad, uk_prev.dtype)
+        conv_vals = jnp.stack([r if r is not None else zero_row for r in rows])
         a_vals = (d["MK_vals"] + conv_vals) * d["row_mask_grid"][None, :]
         a_vals = a_vals.at[self.a_zero_off].add(d["diag_add_grid"])
         a_diag = a_vals[self.a_zero_off]
@@ -465,20 +478,44 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         )
         if self.pin_grid > 0:
             r2 = r2.at[self.pin_grid].set(0.0)
-        if self.use_mg:
-            from cfd_with_cuda_tpu.ops.multigrid import make_vcycle
-
-            precond = make_vcycle(d, self.mg_dims, self.mg_radii, self.mg_omegas)
-        else:
-            precond = lambda r: r / d["Z_diag"]
-        sol = cg(
-            lambda p: patches_spmv(d["Z_win"], p, self.coarse_dims, self.z_radius),
-            r2,
-            tol=cfg.pressure_cg_tol,
-            maxiter=cfg.pressure_cg_maxiter,
-            dot_dtype=cfg.krylov_dot_dtype(),
-            precond=precond,
+        # fused Pallas CG when eligible (same gating as the explicit
+        # solver; ops/pallas_cg.py) — one op per CG iteration
+        use_fused = (
+            cfg.pressure_backend != "xla"
+            and cfg.krylov_dot_dtype() is None
+            and cfg.jnp_dtype() == jnp.float32
+            and (
+                cfg.pressure_backend == "pallas"
+                or (jax.default_backend() == "tpu" and jax.device_count() == 1)
+            )
         )
+        if use_fused:
+            from cfd_with_cuda_tpu.ops.pallas_cg import fused_cg
+
+            sol = fused_cg(
+                d["Z_win"], r2, 1.0 / d["Z_diag"],
+                dims=self.coarse_dims, radius=self.z_radius,
+                tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,
+            )
+        else:
+            if self.use_mg:
+                from cfd_with_cuda_tpu.ops.multigrid import make_vcycle
+
+                precond = make_vcycle(
+                    d, self.mg_dims, self.mg_radii, self.mg_omegas
+                )
+            else:
+                precond = lambda r: r / d["Z_diag"]
+            sol = cg(
+                lambda p: patches_spmv(
+                    d["Z_win"], p, self.coarse_dims, self.z_radius
+                ),
+                r2,
+                tol=cfg.pressure_cg_tol,
+                maxiter=cfg.pressure_cg_maxiter,
+                dot_dtype=cfg.krylov_dot_dtype(),
+                precond=precond,
+            )
         pk = pk_prev + sol.x
 
         max_acc = jnp.max(jnp.abs(uk - uk_prev)) / dt

@@ -65,6 +65,14 @@ class SolverConfig:
     # unstructured mesh raises).  The reference only ever precondition
     # with Jacobi (blascoCodinaHuerta.cpp:4013-4018, CUDAcodes.cu:437).
     pressure_precond: str = "auto"
+    # Pressure-solve backend: "auto" uses the fused Pallas CG kernel
+    # (ops/pallas_cg.py — one op per CG iteration, measured ~9x per
+    # iteration vs the XLA body) when the structured path is active on a
+    # single TPU chip with plain-f32 dots; "xla" forces the lax.while_loop
+    # CG; "pallas" forces the fused kernel (interpret mode off-TPU — slow,
+    # for tests).  F64/MIXED policies always take the XLA path (TPU f64 is
+    # emulated and unsupported in Mosaic kernels).
+    pressure_backend: str = "auto"
     # Structured-grid DIA fast path: "auto" detects box-grid decks and
     # replaces gather-bound ELL SpMV with shift+FMA stencils; "never"
     # forces ELL; "force" errors if the mesh is not a box grid.
@@ -94,6 +102,24 @@ class SolverConfig:
         import jax.numpy as jnp
 
         return jnp.float64 if self.dtype_policy is DTypePolicy.F64 else jnp.float32
+
+    def fused_pressure_eligible(self) -> bool:
+        """True when the fused Pallas pressure path (ops/pallas_cg.py +
+        ops/pallas_stencil.py) should be used on a structured mesh:
+        plain-f32 dots and either forced ("pallas") or auto on a
+        single-TPU backend.  Also controls the setup-time decision to
+        pre-pad structured device arrays to the Pallas block multiple
+        (2048) so kernel calls skip their 340 MB weight pads."""
+        import jax
+        import jax.numpy as jnp
+
+        if self.pressure_backend == "xla":
+            return False
+        if self.jnp_dtype() != jnp.float32 or self.krylov_dot_dtype() is not None:
+            return False
+        if self.pressure_backend == "pallas":
+            return True
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
 
     def krylov_dot_dtype(self):
         """f64 accumulation dtype for Krylov inner products under the

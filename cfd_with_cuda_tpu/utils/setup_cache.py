@@ -32,7 +32,7 @@ __all__ = [
 ]
 
 # bump when solver snapshot layouts change — stale entries just miss
-SCHEMA = 5
+SCHEMA = 6
 
 
 def default_cache_dir() -> str | None:

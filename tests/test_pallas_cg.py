@@ -1,0 +1,118 @@
+"""Fused Pallas CG vs the XLA ``ops.krylov.cg`` on real pressure systems.
+
+Interpret mode off-TPU exercises the same kernel logic; the contract is
+identical iterates (same algorithm, same breakdown guards), so solutions
+must match to f32 round-off and iteration counts must agree.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cfd_with_cuda_tpu.fem.assembly import assemble_operators
+from cfd_with_cuda_tpu.fem.jacobian import build_element_tables
+from cfd_with_cuda_tpu.fem.structured import detect_structured_grid, dia_from_csr
+from cfd_with_cuda_tpu.mesh.generators import cavity_deck
+from cfd_with_cuda_tpu.mesh.topology import promote_hex_mesh
+from cfd_with_cuda_tpu.ops import krylov
+from cfd_with_cuda_tpu.ops.pallas_cg import fused_cg
+from cfd_with_cuda_tpu.ops.stencil import patches_spmv
+
+
+@pytest.fixture(scope="module")
+def pinned_z():
+    """Pinned Z of a small cavity in grid order + its DIA window form."""
+    deck = cavity_deck(5, cluster=1.0, viscosity=0.01, dt=1e-3)
+    mesh = promote_hex_mesh(deck.conn, deck.coords)
+    tab = build_element_tables(
+        mesh.coords, mesh.ltog_node, etype=deck.etype,
+        nenv=deck.nenv, nenp=deck.nenp, ngp=deck.ngp,
+    )
+    ops = assemble_operators(
+        tab, mesh.ltog_node, mesh.nn, deck.nnp,
+        viscosity=deck.viscosity, density=deck.density, z_mode="product",
+    )
+    Z = ops.Z.tocsr().copy()
+    pin = deck.zero_pressure_node
+    Z[pin, pin] = Z[pin, pin] * 1000.0
+    gi_p = detect_structured_grid(mesh.coords[: deck.nnp])
+    dia = dia_from_csr(Z, gi_p.flat_of_node, gi_p.flat_of_node, gi_p.dims)
+    win = np.asarray(dia.window_vals(dtype=np.float64), dtype=np.float32)
+    diag = np.zeros(gi_p.size, np.float32)
+    diag[gi_p.flat_of_node] = Z.diagonal()
+    return win, diag, gi_p.dims, dia.radius
+
+
+def test_fused_cg_matches_xla_cg(pinned_z):
+    win, diag, dims, radius = pinned_z
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(int(np.prod(dims))).astype(np.float32)
+    b[0] = 0.0
+
+    winj = jnp.asarray(win)
+    mv = lambda p: patches_spmv(winj, p, dims, radius)
+    ref = krylov.cg(
+        mv, jnp.asarray(b), tol=1e-6, maxiter=200,
+        precond=lambda r: r / jnp.asarray(diag),
+    )
+    out = fused_cg(
+        winj, jnp.asarray(b), jnp.asarray(1.0 / diag),
+        dims=dims, radius=radius, tol=1e-6, maxiter=200,
+    )
+    assert int(out.iters) == int(ref.iters)
+    np.testing.assert_allclose(
+        np.asarray(out.x), np.asarray(ref.x), rtol=2e-4, atol=2e-5
+    )
+    # true residual of the fused solution meets the tolerance
+    r = b - np.asarray(mv(out.x))
+    assert np.linalg.norm(r) <= 1.2e-6 * np.linalg.norm(b)
+
+
+def test_fused_cg_zero_rhs(pinned_z):
+    """b = 0 must return x = 0 in 0 iterations (breakdown guards)."""
+    win, diag, dims, radius = pinned_z
+    out = fused_cg(
+        jnp.asarray(win), jnp.zeros(int(np.prod(dims)), jnp.float32),
+        jnp.asarray(1.0 / diag), dims=dims, radius=radius,
+        tol=1e-6, maxiter=100,
+    )
+    assert int(out.iters) == 0
+    assert np.all(np.asarray(out.x) == 0.0)
+
+
+def _run_small_cavity(cls, backend, n_steps=6):
+    from cfd_with_cuda_tpu.mesh.generators import cavity_deck
+    from cfd_with_cuda_tpu.utils.config import DTypePolicy, SolverConfig
+
+    deck = cavity_deck(4, viscosity=0.01, dt=0.01)
+    # tight tolerances: at loose tol the two CG implementations' rounding
+    # differences get amplified by the system conditioning into visible
+    # trajectory noise (e.g. momentum-RHS feedback in the implicit solver)
+    cfg = SolverConfig(
+        dtype_policy=DTypePolicy.F32, pressure_cg_tol=1e-10,
+        momentum_tol=1e-10, steps_per_chunk=3, pressure_backend=backend,
+        pressure_precond="jacobi",
+    )
+    s = cls(deck, cfg)
+    state, hist = s.run(n_steps=n_steps)
+    return s.fields(state), hist[-1]
+
+
+@pytest.mark.parametrize("solver", ["explicit", "implicit"])
+def test_fused_pressure_solve_in_solver(solver):
+    """Full solver trajectories with the fused kernel (interpret mode on
+    CPU) track the XLA pressure path; identical CG algorithm, so fields
+    agree to f32 CG-tolerance noise."""
+    from cfd_with_cuda_tpu.solvers.explicit_bch import ExplicitBCHSolver
+    from cfd_with_cuda_tpu.solvers.implicit_gq import ImplicitGQSolver
+
+    cls = ExplicitBCHSolver if solver == "explicit" else ImplicitGQSolver
+    (u_p, p_p), h_p = _run_small_cavity(cls, "pallas")
+    (u_x, p_x), h_x = _run_small_cavity(cls, "xla")
+    assert np.isfinite(u_p).all() and np.isfinite(p_p).all()
+    # at tol 1e-10 both f32 solvers sit at the f32 floor; remaining
+    # differences are rounding noise amplified by system conditioning
+    np.testing.assert_allclose(u_p, u_x, atol=2e-4)
+    np.testing.assert_allclose(p_p, p_x, atol=1e-4)
+    assert abs(h_p["cg_iters"] - h_x["cg_iters"]) <= 5
