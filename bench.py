@@ -24,11 +24,11 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 REF_DECK = "/root/reference/inputFiles/lidDrivenCavity/lidDrivenCavity_NE27000.inp"
 
-N_MEASURE = 30
+N_MEASURE = 200
 # warmup must run >= steps_per_chunk steps so the measured phase reuses the
 # compiled chunk graph (a shorter warmup makes the measurement eat a fresh
 # XLA compile)
-N_WARM = 10
+N_WARM = 50
 ORACLE_STEPS = 2
 
 
@@ -58,8 +58,12 @@ def main():
     cfg = SolverConfig(
         dtype_policy=DTypePolicy.F32,
         pressure_cg_tol=1e-6,
-        steps_per_chunk=10,
+        steps_per_chunk=50,
         setup_cache="auto",
+        # fused Pallas pressure path with warm-started CG: the bound
+        # stays relative to ||b|| (same solution-quality contract as the
+        # reference's CUSP CG), only the iteration count drops
+        pressure_warm_start=True,
     )
     t0 = time.time()
     solver = ExplicitBCHSolver(deck, cfg)

@@ -532,39 +532,46 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                     self.coarse_dims, self.fine_dims,
                 )
         if fused_conv:
-            # A(un) into K's DIA rows ONCE per step (un is fixed across
-            # sub-iterations, ref calculateMatrixA uses Un :3520-3685);
-            # each sub-iteration then applies (K+A) as one Pallas stencil
-            # instead of re-running the matrix-free gather/scatter chain.
-            # Entry (i, j) of every element lands at window offset
-            # conv_oij[i][j], so assembly = 27 dilated-pad placements +
-            # static add chains (place_elem_field; no device scatter).
-            from cfd_with_cuda_tpu.ops.stencil import place_elem_field
-
+            # elemental convection matrices A_e(un) ONCE per step (un is
+            # fixed across sub-iterations, ref calculateMatrixA uses Un
+            # :3520-3685)
             u0_e = gather_elem_stencil(un[:, :Sr3], self.elem_dims, self.fine_dims)
             u0_gq = jnp.einsum("ki,die->dke", d["Sv"], u0_e)
             udotg = jnp.einsum("dke,djke->jke", u0_gq, d["gDSv"])
             ae = jnp.einsum("ki,ke,jke->ije", d["Sv"], d["gq"], udotg)
-            n_off = len(self.k_offsets)
-            nen = len(self.local_off)
-            rows: list = [None] * n_off
-            for i in range(nen):
-                placed = place_elem_field(
-                    ae[i], self.local_off[i], self.elem_dims, self.fine_dims
-                )
-                placed = jnp.pad(placed, ((0, 0), (0, sp - Sr3)))
-                for j in range(nen):
-                    o = self.conv_oij[i][j]
-                    rows[o] = placed[j] if rows[o] is None else rows[o] + placed[j]
-            zero_row = jnp.zeros(sp, un.dtype)
-            conv_vals = jnp.stack([r if r is not None else zero_row for r in rows])
-            ka_vals = d["K_vals"] + conv_vals
-            ka_mul = lambda u: pallas_window_spmv(
-                ka_vals, u, self.fine_dims,
-                offsets=self.k_offsets, trim=False,
-            )
+            if cfg.conv_mode == "assemble":
+                # scatter A_e into K's DIA rows -> (K+A) is ONE Pallas
+                # stencil apply per sub-iteration
+                from cfd_with_cuda_tpu.ops.stencil import assemble_window_values
 
-        def pressure_solve(r2):
+                conv_vals = assemble_window_values(
+                    ae, self.local_off, self.conv_oij, len(self.k_offsets),
+                    self.elem_dims, self.fine_dims, sp,
+                )
+                ka_vals = d["K_vals"] + conv_vals
+                ka_mul = lambda u: pallas_window_spmv(
+                    ka_vals, u, self.fine_dims,
+                    offsets=self.k_offsets, trim=False,
+                )
+            else:
+                # matrix-free: per sub-iteration gather -> batched
+                # per-element matvec -> dilated-pad scatter (cheaper per
+                # step at the usual 2-3 sub-iterations)
+                from cfd_with_cuda_tpu.ops.stencil import scatter_elem_stencil
+
+                def conv_apply(u_star):
+                    up_e = gather_elem_stencil(
+                        u_star[:, :Sr3], self.elem_dims, self.fine_dims
+                    )
+                    r1e = jnp.einsum("ije,dje->die", ae, up_e)
+                    out = scatter_elem_stencil(
+                        r1e, self.local_off, self.elem_dims, self.fine_dims
+                    )
+                    return jnp.pad(out, ((0, 0), (0, sp - Sr3)))
+
+                ka_mul = lambda u: k_mul(u) + conv_apply(u)
+
+        def pressure_solve(r2, x0=None):
             if "cg" in abl:
                 return KrylovResult(precond(r2), jnp.asarray(0), jnp.asarray(0.0))
             if use_fused:
@@ -572,6 +579,8 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                     d["Z_win"][:, :self.nnp], r2, 1.0 / d["Z_diag"],
                     dims=self.coarse_dims, radius=self.z_radius,
                     tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,
+                    x0=x0 if cfg.pressure_warm_start else None,
+                    unroll=max(1, int(cfg.pressure_cg_unroll)),
                 )
             return cg(
                 z_mul, r2,
@@ -583,7 +592,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
 
         def iteration(carry):
             (it, _conv, unp_half_prev, unp1_prev, _acc_prev, pnp1_prev,
-             k_acc_prev, _unp1, _pnp1, _cgit) = carry
+             k_acc_prev, _unp1, _pnp1, _cgit, pdot_prev) = carry
 
             # ---- step1: R1 = -K u* - A(un) u* - G pn  (ref :3712-3783)
             if fused_conv:
@@ -612,7 +621,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             r2 = div(dummy)
             if pin > 0:
                 r2 = r2.at[pin].set(0.0)
-            sol = pressure_solve(r2)
+            sol = pressure_solve(r2, pdot_prev)
             pdot = sol.x
             pnp1 = pn + dt * pdot
 
@@ -640,6 +649,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                 unp1,
                 pnp1,
                 sol.iters,
+                pdot,
             )
 
         def cond(carry):
@@ -653,10 +663,11 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         init = (
             jnp.asarray(1), jnp.asarray(False),
             un, unp1_prev0, zeros_u, pn, zeros_u,
-            un, pn, jnp.asarray(0),
+            un, pn, jnp.asarray(0), jnp.zeros_like(pn),
         )
         out = lax.while_loop(cond, iteration, init)
-        (it, _conv, _uhp, unp1_prev, _acc, _pprev, _kacc, unp1, pnp1, cgit) = out
+        (it, _conv, _uhp, unp1_prev, _acc, _pprev, _kacc, unp1, pnp1, cgit,
+         _pdot) = out
 
         max_acc = jnp.max(jnp.abs(unp1 - un)) / dt
         mon = self.monitor_node

@@ -71,7 +71,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         "local_off", "a_offsets", "a_zero_off", "z_radius", "g_radius",
         "gt_radius", "conv_oij", "_ell_shape", "_nnz",
         "s_pad", "pin_grid", "monitor_node", "use_mg", "mg_dims", "mg_radii",
-        "mg_omegas",
+        "mg_omegas", "_pallas_layout",
     )
 
     def _setup(self) -> None:
@@ -81,10 +81,16 @@ class ImplicitGQSolver(ChunkedTimeLoop):
 
         from cfd_with_cuda_tpu.utils import setup_cache as sc
 
+        # the fused Pallas path wants device arrays pre-padded to the
+        # kernel block multiple (backend-dependent -> in the fingerprint)
+        self._pallas_layout = cfg.fused_pressure_eligible()
+
         cache_dir = cfg.setup_cache_dir()
         cache_key = None
         if cache_dir:
-            cache_key = sc.deck_fingerprint(deck, cfg, type(self).__name__)
+            cache_key = sc.deck_fingerprint(
+                deck, cfg, type(self).__name__, self._pallas_layout
+            )
             snap = sc.snapshot_load(cache_dir, cache_key)
             if snap is not None:
                 sc.solver_restore(self, snap)
@@ -287,6 +293,10 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         # rows carry zero operator values + unit diagonal -> no-op rows)
         S = gi.size
         pad = max(1, int(self.config.shard_pad))
+        if self._pallas_layout:
+            from cfd_with_cuda_tpu.ops.pallas_stencil import BLK
+
+            pad = int(np.lcm(pad, BLK))
         self.s_pad = -(-S // pad) * pad
         n_off = mk_dia.vals.shape[0]
 
@@ -425,44 +435,75 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         S = int(np.prod(self.fine_dims))      # real fine-grid size (<= s_pad)
         pad_u = lambda y: jnp.pad(y, ((0, 0), (0, self.s_pad - S)))
 
+        # fused Pallas path: same gating as the explicit solver — XLA
+        # patch convolutions degrade badly next to Pallas custom calls,
+        # so when the fused CG is active, M/A/G/G^T also go Pallas
+        use_fused = cfg.fused_pressure_eligible()
+
         # A = M/dt + K + A(u^k): convection assembled into DIA rows via
-        # 27 dilated-pad placements + static add chains (conv_oij maps
-        # each (i, j) channel pair to its fixed window offset — no
-        # device scatter; see the explicit solver's fused_conv block)
-        from cfd_with_cuda_tpu.ops.stencil import place_elem_field
+        # scatter-free parity-class accumulation + one interleave
+        # (conv_oij maps each (i, j) channel pair to its fixed window
+        # offset; ops.stencil.assemble_window_values)
+        from cfd_with_cuda_tpu.ops.stencil import assemble_window_values
 
         u0_e = gather_elem_stencil(uk_prev[:, :S], self.elem_dims, self.fine_dims)
         u0_gq = jnp.einsum("ki,die->dke", d["Sv"], u0_e)
         udotg = jnp.einsum("dke,djke->jke", u0_gq, d["gDSv"])
         ae = jnp.einsum("ki,ke,jke->ije", d["Sv"], d["gq"], udotg)
-        n_off = len(self.a_offsets)
-        nen = len(self.local_off)
-        rows: list = [None] * n_off
-        for i in range(nen):
-            placed = place_elem_field(
-                ae[i], self.local_off[i], self.elem_dims, self.fine_dims
-            )
-            placed = jnp.pad(placed, ((0, 0), (0, self.s_pad - S)))
-            for j in range(nen):
-                o = self.conv_oij[i][j]
-                rows[o] = placed[j] if rows[o] is None else rows[o] + placed[j]
-        zero_row = jnp.zeros(self.s_pad, uk_prev.dtype)
-        conv_vals = jnp.stack([r if r is not None else zero_row for r in rows])
+        conv_vals = assemble_window_values(
+            ae, self.local_off, self.conv_oij, len(self.a_offsets),
+            self.elem_dims, self.fine_dims, self.s_pad,
+        )
         a_vals = (d["MK_vals"] + conv_vals) * d["row_mask_grid"][None, :]
         a_vals = a_vals.at[self.a_zero_off].add(d["diag_add_grid"])
         a_diag = a_vals[self.a_zero_off]
 
+        if use_fused:
+            from cfd_with_cuda_tpu.ops.pallas_stencil import (
+                pallas_div_window,
+                pallas_grad_window,
+                pallas_window_spmv,
+            )
+            from cfd_with_cuda_tpu.ops.stencil import coarse_to_fine, fine_to_coarse
+
+            sp = self.s_pad
+            a_mul = lambda x: pallas_window_spmv(
+                a_vals, x, self.fine_dims, offsets=self.a_offsets, trim=False,
+            )
+            m_mul = lambda x: pallas_window_spmv(
+                d["M_vals"], x, self.fine_dims, offsets=self.a_offsets,
+                trim=False,
+            )
+            grad = lambda p: pallas_grad_window(
+                d["G_win"],
+                jnp.pad(coarse_to_fine(p, self.coarse_dims, self.fine_dims),
+                        (0, sp - S)),
+                self.fine_dims, self.g_radius, trim=False,
+            )
+            div = lambda u: fine_to_coarse(
+                pallas_div_window(d["GT_win"], u, self.fine_dims, self.gt_radius),
+                self.coarse_dims, self.fine_dims,
+            )
+        else:
+            a_mul = lambda x: dia_spmv(a_vals, x, self.a_offsets)
+            m_mul = lambda x: dia_spmv(d["M_vals"], x, self.a_offsets)
+            grad = lambda p: pad_u(patches_grad_apply(
+                d["G_win"][..., :S], p, self.coarse_dims, self.fine_dims,
+                self.g_radius,
+            ))
+            div = lambda u: patches_div_apply(
+                d["GT_win"][..., :S], u[:, :S], self.coarse_dims,
+                self.fine_dims, self.gt_radius,
+            )
+
         # RHS = (M/dt) u^k - G (2 p^k - p^{k-1}); BC rows = BC values
         pdiff2 = 2.0 * pk_prev - pk_prevprev
-        r1 = dia_spmv(d["M_vals"], uk_prev, self.a_offsets)
-        r1 = r1 - pad_u(patches_grad_apply(
-            d["G_win"][..., :S], pdiff2, self.coarse_dims, self.fine_dims,
-            self.g_radius,
-        ))
+        r1 = m_mul(uk_prev)
+        r1 = r1 - grad(pdiff2)
         r1 = r1 * d["bc_mask"][None, :] + d["bc_vel"]
 
         mom = self._momentum_solver(
-            lambda x: dia_spmv(a_vals, x, self.a_offsets),
+            a_mul,
             r1,
             tol=cfg.momentum_tol,
             atol=cfg.momentum_abs_tol,
@@ -472,23 +513,9 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         )
         uk = mom.x
 
-        r2 = (-1.0 / dt) * patches_div_apply(
-            d["GT_win"][..., :S], uk[:, :S], self.coarse_dims, self.fine_dims,
-            self.gt_radius,
-        )
+        r2 = (-1.0 / dt) * div(uk)
         if self.pin_grid > 0:
             r2 = r2.at[self.pin_grid].set(0.0)
-        # fused Pallas CG when eligible (same gating as the explicit
-        # solver; ops/pallas_cg.py) — one op per CG iteration
-        use_fused = (
-            cfg.pressure_backend != "xla"
-            and cfg.krylov_dot_dtype() is None
-            and cfg.jnp_dtype() == jnp.float32
-            and (
-                cfg.pressure_backend == "pallas"
-                or (jax.default_backend() == "tpu" and jax.device_count() == 1)
-            )
-        )
         if use_fused:
             from cfd_with_cuda_tpu.ops.pallas_cg import fused_cg
 
@@ -496,6 +523,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
                 d["Z_win"], r2, 1.0 / d["Z_diag"],
                 dims=self.coarse_dims, radius=self.z_radius,
                 tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,
+                unroll=max(1, int(cfg.pressure_cg_unroll)),
             )
         else:
             if self.use_mg:

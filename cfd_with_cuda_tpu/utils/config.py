@@ -73,6 +73,24 @@ class SolverConfig:
     # for tests).  F64/MIXED policies always take the XLA path (TPU f64 is
     # emulated and unsupported in Mosaic kernels).
     pressure_backend: str = "auto"
+    # Warm-start the pressure CG from the previous sub-iteration's pdot
+    # (x0=0 matches the reference's MKL/CUSP solvers exactly, so this
+    # defaults off).  The convergence bound stays relative to ||b||, so
+    # the solution quality contract is unchanged — only the iteration
+    # count drops.  Fused-Pallas path only.
+    pressure_warm_start: bool = False
+    # Convection treatment on the fused Pallas path: "matrix-free"
+    # precomputes the elemental matrices A_e(un) once per step and
+    # applies them per sub-iteration (gather -> batched matvec ->
+    # scatter); "assemble" additionally scatters A_e into K's DIA rows
+    # so (K+A) is one Pallas stencil apply — cheaper per sub-iteration
+    # but pays ~9 ms/step of dilated-pad assembly (wins only when many
+    # sub-iterations run per step).
+    conv_mode: str = "matrix-free"
+    # CG iterations per convergence check in the fused Pallas solver
+    # (the scalar check between while-loop trips stalls the pipeline for
+    # about one kernel body).  Iteration counts round up to a multiple.
+    pressure_cg_unroll: int = 4
     # Structured-grid DIA fast path: "auto" detects box-grid decks and
     # replaces gather-bound ELL SpMV with shift+FMA stencils; "never"
     # forces ELL; "force" errors if the mesh is not a box grid.

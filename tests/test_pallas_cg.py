@@ -115,4 +115,6 @@ def test_fused_pressure_solve_in_solver(solver):
     # differences are rounding noise amplified by system conditioning
     np.testing.assert_allclose(u_p, u_x, atol=2e-4)
     np.testing.assert_allclose(p_p, p_x, atol=1e-4)
-    assert abs(h_p["cg_iters"] - h_x["cg_iters"]) <= 5
+    # fused CG runs `pressure_cg_unroll` (4) iterations per convergence
+    # check, so counts round up; allow two groups of slack
+    assert abs(h_p["cg_iters"] - h_x["cg_iters"]) <= 8
