@@ -74,7 +74,12 @@ def _cg_iter_kernel(
     w3 = len(offs)
 
     def dma(slot, blk):
-        return pltpu.make_async_copy(win_ref.at[blk], wbuf.at[slot], sem.at[slot])
+        # index as i32: under jax x64 a bare python int lowers to i64,
+        # which Mosaic's memref_slice rejects
+        i32 = lambda v: jnp.asarray(v, jnp.int32)
+        return pltpu.make_async_copy(
+            win_ref.at[i32(blk)], wbuf.at[i32(slot)], sem.at[i32(slot)]
+        )
 
     dma(0, 0).start()
     ap = jnp.zeros((1, s_pad), x_ref.dtype)

@@ -135,6 +135,11 @@ class SolverConfig:
             return False
         if self.jnp_dtype() != jnp.float32 or self.krylov_dot_dtype() is not None:
             return False
+        if jax.config.jax_enable_x64 and jax.default_backend() == "tpu":
+            # under x64, python int literals trace as i64 inside kernels
+            # and Mosaic rejects them (index maps, DMA slices); interpret
+            # mode off-TPU is unaffected
+            return False
         if self.pressure_backend == "pallas":
             return True
         return jax.default_backend() == "tpu" and jax.device_count() == 1

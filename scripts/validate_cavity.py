@@ -51,14 +51,15 @@ def main():
         max_steps = 75000
     else:
         re = 100
+        t_final = 150.0               # 3-D spin-up is slow; steady check stops early
         if os.path.exists(REF_DECK):
             deck = read_deck(REF_DECK)
-            deck.t_final = 50.0       # run to steady; steady check stops it
+            deck.t_final = t_final
         else:
             deck = cavity_deck(
-                30, cluster=2.0, viscosity=0.01, dt=0.001, t_final=50.0
+                30, cluster=2.0, viscosity=0.01, dt=0.001, t_final=t_final
             )
-        max_steps = 50000
+        max_steps = int(t_final / deck.dt)
 
     solver_cls = ImplicitGQSolver if "--implicit" in sys.argv else ExplicitBCHSolver
     tag = "implicit" if "--implicit" in sys.argv else "explicit"
@@ -67,6 +68,7 @@ def main():
         pressure_cg_tol=1e-6,
         steps_per_chunk=100,
         setup_cache="auto",
+        pressure_warm_start=solver_cls is ExplicitBCHSolver,
     )
     t0 = time.time()
     solver = solver_cls(deck, cfg)
@@ -74,7 +76,17 @@ def main():
           f"use_mg={solver.use_mg}", flush=True)
 
     t0 = time.time()
-    state, hist = solver.run(n_steps=max_steps)
+    state = None
+    hist = []
+    chunk_steps = 5000
+    for done in range(0, max_steps, chunk_steps):
+        state, part = solver.run(state, n_steps=min(chunk_steps, max_steps - done))
+        hist.extend(part)
+        h = part[-1]
+        print(f"  step {len(hist):6d}: max_acc={h['max_acc']:.3e} "
+              f"u_mon={h['u_mon']:+.6f}", flush=True)
+        if h["max_acc"] <= deck.convergence_criteria:
+            break
     dt_run = time.time() - t0
     h = hist[-1]
     print(f"ran {len(hist)} steps in {dt_run:.0f}s "
