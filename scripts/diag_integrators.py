@@ -1,0 +1,107 @@
+"""Drift diagnosis: march the coarse (15^3-element, 31^3-node) Re=100
+cavity to t=200 under several integrator/precision/solver configs and
+record the full monitor trajectory + final mid-plane profiles.
+
+Discriminates the round-2 drift hypotheses (VERDICT "What's weak" #2):
+f32 accumulation vs fused-CG tolerance/warm-start vs splitting error —
+by comparing where each config's u_mon(t) settles (or fails to).
+
+Usage: python scripts/diag_integrators.py <config> [t_final]
+Configs: exp_f32_warm exp_f32_tight exp_mixed exp_f64 imp_f32 imp_f64
+Writes cfd_with_cuda_tpu/validation/data/diag_<config>.npz.
+"""
+
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+name = sys.argv[1]
+t_final = float(sys.argv[2]) if len(sys.argv) > 2 else 200.0
+
+if name in ("exp_f64", "imp_f64", "exp_mixed"):
+    os.environ["JAX_ENABLE_X64"] = "1"
+
+import numpy as np
+
+from cfd_with_cuda_tpu.mesh.generators import cavity_deck
+from cfd_with_cuda_tpu.solvers.explicit_bch import ExplicitBCHSolver
+from cfd_with_cuda_tpu.solvers.implicit_gq import ImplicitGQSolver
+from cfd_with_cuda_tpu.utils.config import DTypePolicy, SolverConfig
+from cfd_with_cuda_tpu.utils.setup_cache import enable_compilation_cache
+from cfd_with_cuda_tpu.validation.ghia1982 import (
+    centerline_profiles,
+    check_against_ghia,
+)
+
+DATA = REPO / "cfd_with_cuda_tpu" / "validation" / "data"
+
+N = 15
+implicit = name.startswith("imp")
+dt = 0.01 if implicit else 0.002
+
+deck = cavity_deck(N, cluster=2.0, viscosity=0.01, dt=dt, t_final=t_final)
+CFGS = {
+    "exp_f32_warm": SolverConfig(
+        dtype_policy=DTypePolicy.F32, pressure_cg_tol=1e-6,
+        pressure_warm_start=True, steps_per_chunk=200,
+    ),
+    "exp_f32_tight": SolverConfig(
+        dtype_policy=DTypePolicy.F32, pressure_cg_tol=1e-10,
+        pressure_warm_start=False, steps_per_chunk=200,
+    ),
+    "exp_mixed": SolverConfig(
+        dtype_policy=DTypePolicy.MIXED, pressure_cg_tol=1e-10,
+        steps_per_chunk=100,
+    ),
+    "exp_f64": SolverConfig(
+        dtype_policy=DTypePolicy.F64, pressure_cg_tol=1e-12,
+        steps_per_chunk=100,
+    ),
+    "imp_f32": SolverConfig(
+        dtype_policy=DTypePolicy.F32, pressure_cg_tol=1e-6,
+        steps_per_chunk=50,
+    ),
+    "imp_f64": SolverConfig(
+        dtype_policy=DTypePolicy.F64, pressure_cg_tol=1e-12,
+        steps_per_chunk=20,
+    ),
+}
+cfg = CFGS[name]
+
+enable_compilation_cache()
+t0 = time.time()
+solver = (ImplicitGQSolver if implicit else ExplicitBCHSolver)(deck, cfg)
+print(f"{name}: setup {time.time()-t0:.0f}s structured={solver.structured}",
+      flush=True)
+
+max_steps = int(t_final / dt)
+state = None
+hist = []
+t0 = time.time()
+chunk = 5000 if not implicit else 2000
+for done in range(0, max_steps, chunk):
+    state, part = solver.run(state, n_steps=min(chunk, max_steps - done))
+    hist.extend(part)
+    h = part[-1]
+    el = time.time() - t0
+    print(f"  {name} step {len(hist):6d} t={len(hist)*dt:7.1f} "
+          f"u_mon={h['u_mon']:+.6f} max_acc={h['max_acc']:.2e} "
+          f"[{el:.0f}s, {el/len(hist)*1e3:.2f} ms/step]", flush=True)
+
+u, p = solver.fields(state)
+z, u_x, x, u_z = centerline_profiles(solver.mesh.coords, u)
+err_u, err_v = check_against_ghia(z, u_x, x, u_z, re=100)
+u_mon = np.asarray([h["u_mon"] for h in hist])
+tail = u_mon[-int(20 / dt):]
+drift = abs(tail[-1] - tail[0]) / (len(tail) * dt)   # per time unit
+print(f"{name}: final u_mon={u_mon[-1]:+.6f} err_u={err_u:.4f} "
+      f"err_v={err_v:.4f} drift/unit_t={drift:.3e}", flush=True)
+DATA.mkdir(parents=True, exist_ok=True)
+np.savez(DATA / f"diag_{name}.npz", u_mon=u_mon[:: max(1, len(u_mon)//4000)],
+         dt=dt, stride=max(1, len(u_mon)//4000), z=z, u_x=u_x, x=x, u_z=u_z,
+         err_u=err_u, err_v=err_v, drift=drift)
+print("saved", flush=True)
