@@ -199,15 +199,23 @@ def bicg(
     maxiter: int = 1000,
     precond: Callable | None = None,
     dot_dtype=None,
+    assume_symmetric: bool = False,
 ) -> KrylovResult:
     """BiConjugate gradient (general systems; needs A^T matvec).
 
-    When ``rmatvec`` is omitted the operator is ASSUMED SYMMETRIC (the
-    shadow recursion collapses onto CG).  For nonsymmetric systems the
-    caller must pass the real transpose apply — ``ops.linsolve`` does
-    this automatically from a host CSR matrix (the reference's CUSP BiCG
-    uses A^T internally, ``oldFiles/segregatedSolver/CUSP_BiCG.cu:60``).
+    ``rmatvec`` is the transpose apply — ``ops.linsolve`` wires it
+    automatically from a host CSR matrix (the reference's CUSP BiCG uses
+    A^T internally, ``oldFiles/segregatedSolver/CUSP_BiCG.cu:60``).
+    Omitting it is an error unless ``assume_symmetric=True`` declares the
+    operator symmetric (then the shadow recursion collapses onto CG);
+    silently assuming symmetry would return wrong results on a
+    nonsymmetric system with no warning.
     """
+    if rmatvec is None and not assume_symmetric:
+        raise ValueError(
+            "bicg on a (potentially) nonsymmetric operator needs rmatvec="
+            "A^T apply; pass assume_symmetric=True only if A is symmetric"
+        )
     M = precond or _identity_precond
     dot, norm = _make_dot(dot_dtype)
     At = rmatvec or matvec

@@ -197,9 +197,15 @@ def fused_cg(win, b, dinv, *, dims, radius, tol, maxiter, x0=None, unroll=1):
     b_norm = jnp.sqrt(jnp.sum(b_p * b_p))
     bound = jnp.maximum(tol * b_norm, 0.0)
 
+    # convergence is only checked between unrolled trips, so the
+    # iteration cap and reported iteration counts are in multiples of
+    # `unroll`: maxiter rounds UP to the next multiple (a soft cap —
+    # ops.krylov.cg semantics, quantised)
+    maxiter_eff = -(-int(maxiter) // unroll) * unroll
+
     def cond(carry):
         x, r, p_ext, rz, rn, k = carry
-        return (k < maxiter) & (rn > bound)
+        return (k < maxiter_eff) & (rn > bound)
 
     def body(carry):
         # `unroll` iterations per while trip: the scalar convergence

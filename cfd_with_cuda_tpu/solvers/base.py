@@ -35,7 +35,7 @@ class StepStats(NamedTuple):
 
 def unpack_chunk_stats(packed) -> tuple[StepStats, bool]:
     """(StepStats of (n_steps,) arrays, done flag) from a chunk's packed
-    f32 monitor matrix (see ``ChunkedTimeLoop._chunk_fn``)."""
+    monitor matrix (state dtype; see ``ChunkedTimeLoop._chunk_fn``)."""
     mat = np.asarray(packed)
     return StepStats(*mat[:-1]), bool(mat[-1, -1])
 
@@ -106,14 +106,17 @@ class ChunkedTimeLoop:
                 None,
                 length=n_steps,
             )
-            # pack monitor scalars + the done flag into ONE f32 matrix so
-            # the host pulls a single buffer per chunk: each D2H transfer
+            # pack monitor scalars + the done flag into ONE matrix so the
+            # host pulls a single buffer per chunk: each D2H transfer
             # through the axon tunnel costs ~45 ms, and pulling the 8
             # StepStats leaves + done separately cost ~377 ms per chunk
-            # (measured) — 37 ms/step at steps_per_chunk=10
+            # (measured) — 37 ms/step at steps_per_chunk=10.  Packed in
+            # the state dtype so F64 runs keep full monitor precision
+            # (the steady-drift criterion reads u_mon from these rows).
+            pack_dt = self.config.jnp_dtype()
             packed = jnp.stack(
-                [jnp.asarray(leaf, jnp.float32) for leaf in stats]
-                + [jnp.broadcast_to(done.astype(jnp.float32), (n_steps,))]
+                [jnp.asarray(leaf, pack_dt) for leaf in stats]
+                + [jnp.broadcast_to(done.astype(pack_dt), (n_steps,))]
             )
             return state, packed
 
@@ -182,11 +185,11 @@ class ChunkedTimeLoop:
         return state, history
 
     def _write_restart_next_to(self, tecplot_path, state) -> None:
-        """Checkpoint `<title>_restart.dat` beside the Tecplot product at
-        dump cadence, so an interrupted run resumes via ``isRestart``
-        without hand-copying files (the reference makes the user copy the
-        periodic dump, ``blascoCodinaHuerta.cpp:3107-3114``)."""
-        from pathlib import Path
-
-        path = Path(tecplot_path).parent / f"{self.deck.title}_restart.dat"
-        self.write_tecplot(state, path)
+        """Checkpoint `<title>_restart.dat` at dump cadence, so an
+        interrupted run resumes via ``isRestart`` without hand-copying
+        files (the reference makes the user copy the periodic dump,
+        ``blascoCodinaHuerta.cpp:3107-3114``).  Written to
+        :meth:`restart_path` — the exact location
+        ``resolve_initial_state`` reads — so resume works even when the
+        Tecplot product goes to a different directory."""
+        self.write_tecplot(state, self.restart_path())

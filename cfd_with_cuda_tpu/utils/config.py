@@ -114,7 +114,11 @@ class SolverConfig:
             from cfd_with_cuda_tpu.utils.setup_cache import default_cache_dir
 
             return default_cache_dir()
-        return self.setup_cache or None
+        if self.setup_cache in (None, "", "off", "none", "0"):
+            # "off"/"none" read as intent to disable, not as a directory
+            # literally named "off" (which one test accidentally created)
+            return None
+        return self.setup_cache
 
     def jnp_dtype(self):
         import jax.numpy as jnp
@@ -132,6 +136,11 @@ class SolverConfig:
         import jax.numpy as jnp
 
         if self.pressure_backend == "xla":
+            return False
+        if self.pressure_precond == "mg":
+            # the fused kernel is Jacobi-only: honour an explicit MG
+            # request by routing to the XLA CG + V-cycle path instead of
+            # silently ignoring the preconditioner choice
             return False
         if self.jnp_dtype() != jnp.float32 or self.krylov_dot_dtype() is not None:
             return False

@@ -27,12 +27,14 @@ __all__ = [
     "deck_fingerprint",
     "snapshot_load",
     "snapshot_store",
+    "evict_lru",
+    "cache_max_bytes",
     "enable_compilation_cache",
     "default_cache_dir",
 ]
 
 # bump when solver snapshot layouts change — stale entries just miss
-SCHEMA = 6
+SCHEMA = 7
 
 
 def default_cache_dir() -> str | None:
@@ -89,9 +91,42 @@ def snapshot_load(cache_dir: str | None, key: str) -> dict | None:
         return None
     try:
         with open(path, "rb") as f:
-            return pickle.load(f)
+            snap = pickle.load(f)
+        os.utime(path)          # LRU recency for evict_lru
+        return snap
     except Exception:  # corrupt/partial file -> treat as miss
         return None
+
+
+def cache_max_bytes() -> int:
+    """Setup-cache size cap: $CFD_TPU_CACHE_MAX_GB (default 8 GB; 0
+    disables eviction).  Snapshots are ~1 GB each at NE27000 scale and
+    fingerprint churn (any config-field change) otherwise accumulates
+    stale entries without bound — round 2 left 29 GB behind."""
+    return int(float(os.environ.get("CFD_TPU_CACHE_MAX_GB", "8")) * 1e9)
+
+
+def evict_lru(cache_dir: str | Path, max_bytes: int | None = None) -> None:
+    """Delete least-recently-used snapshots until the dir fits the cap."""
+    max_bytes = cache_max_bytes() if max_bytes is None else max_bytes
+    if max_bytes <= 0:
+        return
+    entries = []
+    for p in Path(cache_dir).glob("*.pkl"):
+        try:
+            st = p.stat()
+            entries.append((st.st_mtime, st.st_size, p))
+        except OSError:
+            continue
+    total = sum(sz for _, sz, _ in entries)
+    for _, sz, p in sorted(entries):            # oldest first
+        if total <= max_bytes:
+            break
+        try:
+            p.unlink()
+            total -= sz
+        except OSError:
+            pass
 
 
 def snapshot_store(cache_dir: str | None, key: str, snap: dict) -> None:
@@ -110,6 +145,7 @@ def snapshot_store(cache_dir: str | None, key: str, snap: dict) -> None:
             os.unlink(tmp)
         except OSError:
             pass
+    evict_lru(d)
 
 
 def solver_snapshot(solver, attrs: tuple[str, ...]) -> dict:

@@ -216,3 +216,16 @@ def test_cg_on_pressure_poisson_with_pin(rng):
     resid = np.linalg.norm(Z @ x - b) / np.linalg.norm(b)
     assert resid < 1e-11
     assert int(res.iters) < 1000
+
+
+def test_bicg_requires_rmatvec_or_declared_symmetry(rng):
+    n = 10
+    A = _spd(n, rng)
+    b = rng.standard_normal(n)
+    mv = lambda x: jnp.asarray(A) @ x
+    with pytest.raises(ValueError, match="rmatvec"):
+        krylov.bicg(mv, jnp.asarray(b), tol=1e-10, maxiter=50)
+    res = krylov.bicg(mv, jnp.asarray(b), tol=1e-12, maxiter=200,
+                      assume_symmetric=True)
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b),
+                               atol=1e-7)

@@ -10,6 +10,8 @@ import pytest
 
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.pallas  # interpret-mode kernels: minutes on CPU
+
 from cfd_with_cuda_tpu.fem.assembly import assemble_operators
 from cfd_with_cuda_tpu.fem.jacobian import build_element_tables
 from cfd_with_cuda_tpu.fem.structured import detect_structured_grid, dia_from_csr
