@@ -82,6 +82,12 @@ class Deck:
     zero_pressure_node: int = -1
     monitor_xyz: np.ndarray | None = None
     monitor_points: np.ndarray | None = None
+    # optional space-varying velocity-BC profile (generated decks only;
+    # the reference hard-codes its bending-duct fully-developed inlet in
+    # commented-out applyBC code, ``blascoCodinaHuerta.cpp:4086-4102``):
+    # (kind, bc_index, params...) consumed by mesh/profiles.py — kept a
+    # plain tuple so the setup-cache fingerprint stays stable
+    inlet_profile: tuple | None = None
     # provenance: where the deck was read from (None for generated decks);
     # anchors the `<title>_restart.dat` auto-load next to the deck file
     # (ref readRestartFile, blascoCodinaHuerta.cpp:2793-2799)

@@ -238,9 +238,19 @@ def channel_deck(
     convergence: float = 1e-6,
     density: float = 1.0,
     viscosity: float = 0.01,
+    inlet_profile: str | None = None,
 ) -> Deck:
     """Rectangular channel/duct deck: inflow at x=0, outflow at x=L, no-slip
-    walls (rebuilds ``HexaMeshGeneratorInAChannel...m``)."""
+    walls (rebuilds ``HexaMeshGeneratorInAChannel...m``).
+
+    ``inlet_profile="duct_developed"`` replaces the plug inlet with the
+    reference's fully-developed separable profile (mean = |inlet_velocity|;
+    ``blascoCodinaHuerta.cpp:4086-4102``); ``"duct_series"`` uses the exact
+    analytic series profile (mesh/profiles.py).  Outflow faces carry the
+    natural (do-nothing) BC: their nodes are simply absent from the
+    velocity-BC set, exactly as in the reference (which parses
+    ``BCoutFaces`` at :684-693 and never constrains them).
+    """
     coords, conn = cube_hex_mesh(
         ne_x + 1, ne_y + 1, ne_z + 1, lengths=lengths, cluster=cluster
     )
@@ -283,4 +293,9 @@ def channel_deck(
     deck.bc_out_faces = out_faces
     deck.zero_pressure_node = zp
     deck.monitor_xyz = np.array([lengths[0] / 2, lengths[1] / 2, lengths[2] / 2])
+    if inlet_profile is not None:
+        # (kind, bc_index=1 (inlet), axis=0 (x flow), scale=mean speed)
+        deck.inlet_profile = (
+            inlet_profile, 1, 0, float(np.abs(inlet_velocity[0]))
+        )
     return deck

@@ -1,0 +1,89 @@
+"""Space-varying velocity-BC profiles (fully-developed duct inlets).
+
+The reference imposes constant per-BC velocity triples; its bending-
+square-duct runs used a hard-coded fully-developed inlet in (commented)
+``applyBC`` code — ``blascoCodinaHuerta.cpp:4086-4102``:
+
+    velocity = 2.25 * (4*y - 4*y*y) * (4*z - 4*z*z);   // Average u is 1.0
+
+Here the same capability is a first-class deck field: ``deck.inlet_profile
+= (kind, bc_index, *params)`` (a plain tuple so the setup-cache
+fingerprint hashes it stably), applied to the per-node BC-velocity table
+after face->node conversion — so it covers the Q2 mid-edge/face nodes the
+reference's node loop also hits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["apply_inlet_profile", "duct_developed_profile", "duct_series_profile"]
+
+
+def duct_developed_profile(eta: np.ndarray, zeta: np.ndarray) -> np.ndarray:
+    """The reference's separable developed-duct profile on the unit
+    cross-section (mean 1.0): ``2.25 (4y-4y^2)(4z-4z^2)``
+    (``blascoCodinaHuerta.cpp:4094``)."""
+    return 2.25 * (4 * eta - 4 * eta**2) * (4 * zeta - 4 * zeta**2)
+
+
+def duct_series_profile(eta: np.ndarray, zeta: np.ndarray, terms: int = 50) -> np.ndarray:
+    """EXACT fully-developed laminar profile in a square duct (the
+    analytic series solution of ``-lap u = const`` with no-slip walls;
+    e.g. White, *Viscous Fluid Flow* §3-3), normalised to mean 1.0.
+    Used as the ground truth for the straight-duct regression test."""
+    eta = np.asarray(eta, dtype=np.float64)
+    zeta = np.asarray(zeta, dtype=np.float64)
+    u = np.zeros(np.broadcast(eta, zeta).shape)
+    for k in range(terms):
+        n = 2 * k + 1
+        npi = n * np.pi
+        u += (
+            (4.0 / npi**3)
+            * (1.0 - np.cosh(npi * (zeta - 0.5)) / np.cosh(npi / 2.0))
+            * np.sin(npi * eta)
+        )
+    # normalise by the analytic mean of the same truncated series
+    mean = sum(
+        (4.0 / ((2 * k + 1) * np.pi) ** 3)
+        * (1.0 - 2.0 / ((2 * k + 1) * np.pi) * np.tanh((2 * k + 1) * np.pi / 2.0))
+        * (2.0 / ((2 * k + 1) * np.pi))
+        for k in range(terms)
+    )
+    return u / mean
+
+
+_PROFILES = {
+    "duct_developed": duct_developed_profile,
+    "duct_series": duct_series_profile,
+}
+
+
+def apply_inlet_profile(deck, coords: np.ndarray, bc_of_node: np.ndarray,
+                        bc_vel: np.ndarray) -> np.ndarray:
+    """Overwrite ``bc_vel`` rows of nodes carrying ``bc_index`` with the
+    deck's profile evaluated at the (promoted) node coordinates.
+
+    ``deck.inlet_profile = (kind, bc_index, axis, scale)``: ``axis`` is
+    the flow direction (0/1/2); the two cross-section axes are normalised
+    to [0,1] by the mesh bounding box.  Returns ``bc_vel`` (modified in
+    place).
+    """
+    spec = getattr(deck, "inlet_profile", None)
+    if spec is None:
+        return bc_vel
+    kind, bc_index, axis, scale = spec
+    fn = _PROFILES[kind]
+    sel = bc_of_node == int(bc_index)
+    if not sel.any():
+        return bc_vel
+    cross = [a for a in range(3) if a != int(axis)]
+    lo = coords.min(axis=0)
+    hi = coords.max(axis=0)
+    span = np.where(hi - lo > 0, hi - lo, 1.0)
+    eta = (coords[sel, cross[0]] - lo[cross[0]]) / span[cross[0]]
+    zeta = (coords[sel, cross[1]] - lo[cross[1]]) / span[cross[1]]
+    vals = np.zeros((int(sel.sum()), 3))
+    vals[:, int(axis)] = float(scale) * fn(eta, zeta)
+    bc_vel[sel] = vals
+    return bc_vel

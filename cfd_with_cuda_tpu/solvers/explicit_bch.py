@@ -87,8 +87,8 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         "perm_p", "fine_dims", "coarse_dims", "elem_dims", "chan_order",
         "local_off", "k_offsets", "z_radius", "g_radius", "gt_radius",
         "s_pad", "pin_grid", "monitor_node", "monitor_node_deck",
-        "bc_of_node", "use_mg", "mg_dims", "mg_radii", "mg_omegas",
-        "_pallas_layout", "conv_oij",
+        "monitor_node_p", "bc_of_node", "use_mg", "mg_dims", "mg_radii",
+        "mg_omegas", "_pallas_layout", "conv_oij",
     )
 
     # ------------------------------------------------------------------ setup
@@ -140,6 +140,9 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         is_bc = bc_of_node >= 0
         bc_vel = np.zeros((mesh.nn, 3))
         bc_vel[is_bc] = deck.bc_str[bc_of_node[is_bc]]
+        from cfd_with_cuda_tpu.mesh.profiles import apply_inlet_profile
+
+        apply_inlet_profile(deck, mesh.coords, bc_of_node, bc_vel)
 
         # Lumped mass with/without BC rows (ref step0 :3281-3295)
         md = ops.Md.copy()
@@ -216,6 +219,8 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                 deck.coords,
                 deck.monitor_xyz if deck.monitor_xyz is not None else (0.5,) * 3,
             )
+            # pressure monitor: corner node ids < NNp index pn directly
+            self.monitor_node_p = self.monitor_node
         if not self.structured:
             self.s_pad = self.nn
         self.dt = float(deck.dt)
@@ -377,11 +382,20 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         )
         self.monitor_node_deck = mon
         self.monitor_node = int(perm[mon])
+        # pressure field lives on the COARSE grid in perm_p order — the
+        # fine-grid id perm[mon] would index pn out of bounds (clamped by
+        # XLA to the last entry: p_mon silently read the wrong node)
+        self.monitor_node_p = int(perm_p[mon])
 
         # geometric-multigrid pressure preconditioner (the grid hierarchy
         # is free on the structured path; ops/multigrid.py) — the pinned Z
-        # in grid order feeds the Galerkin ladder
-        if self.config.pressure_precond in ("auto", "mg"):
+        # in grid order feeds the Galerkin ladder.  Skipped under "auto"
+        # when the fused Pallas path is active: that path is Jacobi-only
+        # and the hierarchy would be dead setup time + HBM (an explicit
+        # "mg" disables the fused path, utils/config.py).
+        if self.config.pressure_precond == "mg" or (
+            self.config.pressure_precond == "auto" and not self._pallas_layout
+        ):
             from cfd_with_cuda_tpu.ops.multigrid import build_mg_hierarchy
 
             inv_p = np.argsort(perm_p)          # flat grid id -> node id
@@ -673,8 +687,8 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         mon = self.monitor_node
         stats = StepStats(
             u_mon=unp1[0, mon], v_mon=unp1[1, mon], w_mon=unp1[2, mon],
-            p_mon=pnp1[mon], max_acc=max_acc, iters=it - 1, cg_iters=cgit,
-            mom_iters=jnp.asarray(0),
+            p_mon=pnp1[self.monitor_node_p], max_acc=max_acc, iters=it - 1,
+            cg_iters=cgit, mom_iters=jnp.asarray(0),
         )
         new_state = ExplicitState(un=unp1, pn=pnp1, unp1_prev=unp1_prev)
         return new_state, stats
@@ -684,7 +698,8 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         zero = jnp.zeros((), self.config.jnp_dtype())
         return StepStats(
             state.un[0, mon], state.un[1, mon], state.un[2, mon],
-            state.pn[mon], zero, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0),
+            state.pn[self.monitor_node_p], zero, jnp.asarray(0),
+            jnp.asarray(0), jnp.asarray(0),
         )
 
     # ------------------------------------------------------------------- io

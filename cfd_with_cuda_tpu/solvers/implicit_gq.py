@@ -70,8 +70,8 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         "perm_p", "fine_dims", "coarse_dims", "elem_dims", "chan_order",
         "local_off", "a_offsets", "a_zero_off", "z_radius", "g_radius",
         "gt_radius", "conv_oij", "_ell_shape", "_nnz",
-        "s_pad", "pin_grid", "monitor_node", "use_mg", "mg_dims", "mg_radii",
-        "mg_omegas", "_pallas_layout",
+        "s_pad", "pin_grid", "monitor_node", "monitor_node_p", "use_mg",
+        "mg_dims", "mg_radii", "mg_omegas", "_pallas_layout",
     )
 
     def _setup(self) -> None:
@@ -121,12 +121,46 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         is_bc = bc_of_node >= 0
         bc_vel = np.zeros((mesh.nn, 3))
         bc_vel[is_bc] = deck.bc_str[bc_of_node[is_bc]]
+        from cfd_with_cuda_tpu.mesh.profiles import apply_inlet_profile
+
+        apply_inlet_profile(deck, mesh.coords, bc_of_node, bc_vel)
 
         Z = ops.Z.tocsr().copy()
         pin = deck.zero_pressure_node
         self.pin = pin
         if pin > 0:
             Z[pin, pin] = Z[pin, pin] * cfg.pressure_pin_large
+
+        # Outflow faces -> homogeneous Dirichlet on the pressure INCREMENT
+        # at outflow pressure nodes (symmetric row/col elimination keeping
+        # the original diagonal).  The direct-assembly Z is the all-Neumann
+        # Laplacian: consistent only when the RHS sums to zero, i.e. when
+        # the flux across the whole boundary balances — always true for
+        # enclosed flows, violated during open-boundary transients, where
+        # the pinned-but-inconsistent solve injects a huge spurious global
+        # pressure mode and the 2p^k - p^{k-1} extrapolation amplifies it
+        # into blow-up (observed on channel decks).  The reference parses
+        # its outflow faces and never consumes them (it only ever ran the
+        # implicit solver on enclosed cavities); open-boundary support is a
+        # capability extension using the standard pressure-correction
+        # outflow treatment.  The explicit solver needs none of this: its
+        # Z = G^T Md^-1 G keeps boundary-row contributions, so constants
+        # are not in its null space.
+        p_mask = np.ones(self.nnp)
+        if deck.bc_out_faces is not None and len(deck.bc_out_faces):
+            ob = face_bc_to_node_bc(
+                mesh.ltog_node, deck.bc_out_faces, mesh.nn, quadratic=False
+            )
+            out_p = np.flatnonzero(ob[: self.nnp] >= 0)
+            if out_p.size:
+                import scipy.sparse as sps
+
+                p_mask[out_p] = 0.0
+                d0 = Z.diagonal()
+                Dm = sps.diags(p_mask)
+                Z = (Dm @ Z @ Dm
+                     + sps.diags(np.where(p_mask == 0.0, d0, 0.0))).tocsr()
+                Z.sort_indices()
 
         pat = ops.pattern_m
         mk_vals = ops.M + ops.K          # M/dt + K CSR values (:3921-3923)
@@ -146,7 +180,8 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         self.elem_structured = False
         self.use_mg = False
         if cfg.structured in ("auto", "force"):
-            self._try_structured(mesh, ops, Z, is_bc, bc_vel, mk_vals, pat)
+            self._try_structured(mesh, ops, Z, is_bc, bc_vel, mk_vals, pat,
+                                 p_mask)
             if cfg.structured == "force" and not self.structured:
                 raise ValueError("structured mode forced but mesh is not a box grid")
         if cfg.pressure_precond == "mg" and not self.use_mg:
@@ -204,6 +239,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             "Z_vals": dev(z_ell.vals),
             "Z_cols": np.asarray(z_ell.cols),
             "Z_diag": dev(Z.diagonal()),
+            "p_mask": dev(p_mask),
             "bc_mask": dev(np.where(is_bc, 0.0, 1.0)),
             "bc_vel": dev(bc_vel.T),
             "diag_slots": np.asarray(diag_all_slots),
@@ -213,6 +249,8 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         self.monitor_node = find_monitor_node(
             deck.coords, deck.monitor_xyz if deck.monitor_xyz is not None else (0.5,) * 3
         )
+        # pressure monitor: corner node ids < NNp index pk directly
+        self.monitor_node_p = self.monitor_node
         self.dt = float(deck.dt)
         self._momentum_solver = solver_by_name(cfg.momentum_solver)
         if cache_dir:
@@ -222,7 +260,8 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         # one host->device transfer at the end (setup + snapshot stay numpy)
         self.d = {k: jnp.asarray(v) for k, v in self.d.items()}
 
-    def _try_structured(self, mesh, ops, Z, is_bc, bc_vel, mk_vals, pat):
+    def _try_structured(self, mesh, ops, Z, is_bc, bc_vel, mk_vals, pat,
+                        p_mask):
         """DIA operators + per-step device assembly maps for a box grid."""
         from cfd_with_cuda_tpu.fem.structured import (
             detect_structured_elements,
@@ -351,6 +390,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             "GT_win": dev(np.stack([g.window_vals(self.gt_radius, dtype) for g in gt_dias])),
             "Z_win": dev(z_dia.window_vals(dtype=dtype)),
             "Z_diag": dev(permute_vec_p(np.asarray(Z.diagonal()))),
+            "p_mask": dev(permute_vec_p(p_mask)),
             "bc_mask": dev(permute_vec(bc_mask)),
             "bc_vel": dev(np.stack([permute_vec(bc_vel[:, d]) for d in range(3)])),
         }
@@ -367,10 +407,19 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             deck.monitor_xyz if deck.monitor_xyz is not None else (0.5,) * 3,
         )
         self.monitor_node = int(perm[mon])
+        # pressure field lives on the COARSE grid in perm_p order — the
+        # fine-grid id perm[mon] would index pk out of bounds (clamped by
+        # XLA to the last entry: p_mon silently read the wrong node)
+        self.monitor_node_p = int(perm_p[mon])
 
         # geometric-multigrid pressure preconditioner on the pinned
-        # direct-assembly Z (sign-agnostic cycle; ops/multigrid.py)
-        if self.config.pressure_precond in ("auto", "mg"):
+        # direct-assembly Z (sign-agnostic cycle; ops/multigrid.py).
+        # Skipped under "auto" when the fused Pallas path is active: that
+        # path is Jacobi-only and the hierarchy would be dead setup time
+        # + HBM (an explicit "mg" disables the fused path, utils/config.py).
+        if self.config.pressure_precond == "mg" or (
+            self.config.pressure_precond == "auto" and not self._pallas_layout
+        ):
             from cfd_with_cuda_tpu.ops.multigrid import build_mg_hierarchy
 
             inv_p = np.argsort(perm_p)          # flat grid id -> node id
@@ -513,7 +562,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         )
         uk = mom.x
 
-        r2 = (-1.0 / dt) * div(uk)
+        r2 = (-1.0 / dt) * div(uk) * d["p_mask"]
         if self.pin_grid > 0:
             r2 = r2.at[self.pin_grid].set(0.0)
         if use_fused:
@@ -550,7 +599,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         mon = self.monitor_node
         stats = StepStats(
             u_mon=uk[0, mon], v_mon=uk[1, mon], w_mon=uk[2, mon],
-            p_mon=pk[mon], max_acc=max_acc, iters=jnp.asarray(1),
+            p_mon=pk[self.monitor_node_p], max_acc=max_acc, iters=jnp.asarray(1),
             cg_iters=sol.iters, mom_iters=mom.iters,
         )
         return ImplicitState(uk=uk, pk=pk, pk_prev=pk_prev), stats
@@ -592,7 +641,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         uk = mom.x
 
         # ---- step2: R2 = -(1/dt) G^T u^k  (:4096-4127)
-        r2 = (-1.0 / dt) * div_apply(d["GT_vals"], d["GT_cols"], uk)
+        r2 = (-1.0 / dt) * div_apply(d["GT_vals"], d["GT_cols"], uk) * d["p_mask"]
         if self.pin > 0:
             r2 = r2.at[self.pin].set(0.0)
         # CG on the (negative-definite) direct Z — sign-consistent, like the
@@ -618,7 +667,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         mon = self.monitor_node
         stats = StepStats(
             u_mon=uk[0, mon], v_mon=uk[1, mon], w_mon=uk[2, mon],
-            p_mon=pk[mon], max_acc=max_acc, iters=jnp.asarray(1),
+            p_mon=pk[self.monitor_node_p], max_acc=max_acc, iters=jnp.asarray(1),
             cg_iters=sol.iters, mom_iters=mom.iters,
         )
         return ImplicitState(uk=uk, pk=pk, pk_prev=pk_prev), stats
@@ -628,7 +677,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         zero = jnp.zeros((), self.config.jnp_dtype())
         return StepStats(
             state.uk[0, mon], state.uk[1, mon], state.uk[2, mon],
-            state.pk[mon], zero, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0),
+            state.pk[self.monitor_node_p], zero, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0),
         )
 
     # ------------------------------------------------------------------- io
