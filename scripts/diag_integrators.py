@@ -43,7 +43,20 @@ N = 15
 implicit = name.startswith("imp")
 dt = 0.01 if implicit else 0.002
 
-deck = cavity_deck(N, cluster=2.0, viscosity=0.01, dt=dt, t_final=t_final)
+# per-config deck overrides (sub-iteration convergence / dt scaling
+# discriminators for the explicit limit-cycle hypothesis: max_acc
+# plateaus at 7e-2 under the reference deck's maxIter=4/tol=1e-3, i.e.
+# the explicit run sits in a limit cycle, not at a fixed point)
+DECK_KW = {
+    "exp_f32_subconv": dict(max_iter=12, tolerance=1e-6),
+    "exp_f32_dt1": dict(dt=0.001),
+    "exp_f32_dt4": dict(dt=0.004),
+}
+kw = dict(dt=dt)
+kw.update(DECK_KW.get(name, {}))
+dt = kw["dt"]
+
+deck = cavity_deck(N, cluster=2.0, viscosity=0.01, t_final=t_final, **kw)
 CFGS = {
     "exp_f32_warm": SolverConfig(
         dtype_policy=DTypePolicy.F32, pressure_cg_tol=1e-6,
@@ -68,6 +81,18 @@ CFGS = {
     "imp_f64": SolverConfig(
         dtype_policy=DTypePolicy.F64, pressure_cg_tol=1e-12,
         steps_per_chunk=20,
+    ),
+    "exp_f32_subconv": SolverConfig(
+        dtype_policy=DTypePolicy.F32, pressure_cg_tol=1e-6,
+        pressure_warm_start=True, steps_per_chunk=200,
+    ),
+    "exp_f32_dt1": SolverConfig(
+        dtype_policy=DTypePolicy.F32, pressure_cg_tol=1e-6,
+        pressure_warm_start=True, steps_per_chunk=200,
+    ),
+    "exp_f32_dt4": SolverConfig(
+        dtype_policy=DTypePolicy.F32, pressure_cg_tol=1e-6,
+        pressure_warm_start=True, steps_per_chunk=200,
     ),
 }
 cfg = CFGS[name]
