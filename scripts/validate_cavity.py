@@ -13,16 +13,16 @@ Usage:
   python scripts/validate_cavity.py --implicit # implicit GQ integrator
   python scripts/validate_cavity.py --refparity  # keep the deck's maxIter=4/tol=1e-3
 
-Round-3 drift diagnosis status (scripts/diag_integrators.py,
-scripts/diag_mode.py): on clustered meshes the explicit scheme enters a
-saturated limit cycle (max_acc plateau ~7e-2 at 15^3, ~3e-1 at NE27000,
-independent of dt, CG tolerance, precision, AND sub-iteration
-convergence) whose localized oscillation weakens the mean vortex well
-below the true steady state of the same spatial discretization (implicit
-f32/f64 agree at u_mon=-0.183 on the 15^3 mesh; the explicit attractor
-is -0.149 there).  --refparity keeps the deck's maxIter=4/tol=1e-3;
-the default converged sub-iterations (maxIter=10, tol=1e-6) do NOT
-change the attractor but are kept for the cleaner fixed-point semantics.
+Round-3 outcome (full writeup: docs/VALIDATION.md): the CANONICAL
+passing validation is --implicit (converged NE27000 fixed point,
+u_mon=-0.2051, Ghia errors 0.049/0.040, drift 1.7e-6/kstep).  The
+explicit scheme at the reference deck's settings sustains a weakly
+damped near-lid oscillation whose rectified bias erodes the mean vortex
+along an ultra-soft mode — independent of dt, tolerance, sub-iteration
+convergence, and precision (f64 seeded run departs identically); its
+stored artifact characterizes that documented behaviour.  --refparity
+keeps the deck's maxIter=4/tol=1e-3 (the default converged sub-
+iterations do not change the attractor).
 """
 
 import os
