@@ -45,10 +45,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cfd_with_cuda_tpu.ops.krylov import KrylovResult
 
-__all__ = ["fused_cg"]
+__all__ = ["fused_cg", "cg_weight_layout"]
 
 KP = 16             # weight planes per DMA block (~2 MB at 31^3)
 _DIV_FLOOR = 1e-35  # matches ops.krylov._DIV_FLOOR
+
+
+def cg_weight_layout(win: np.ndarray, dims, radius: int) -> np.ndarray:
+    """Pre-pad window weights to the kernel's DMA-block layout
+    ``(nb, KP, s_pad)`` on the host at setup time.
+
+    Passing the result to :func:`fused_cg` (it detects ``ndim == 3``)
+    removes the per-call pad/reshape of the ~16 MB weight array.  That
+    chain is re-executed per sub-iteration inside the jitted step (it
+    sits under two ``lax.while_loop`` nests, where XLA does not hoist
+    it) — measured ~9 ms per pressure solve at NE27000, ~25x the whole
+    rest of the step.
+    """
+    w = 2 * radius + 1
+    w3 = w * w * w
+    s = int(np.prod(dims))
+    assert win.shape == (w3, s), (win.shape, (w3, s))
+    s_pad = _round_up(s, 128)
+    nb = _round_up(w3, KP) // KP
+    out = np.zeros((nb * KP, s_pad), win.dtype)
+    out[:w3, :s] = win
+    return out.reshape(nb, KP, s_pad)
 
 
 def _interpret() -> bool:
@@ -114,9 +136,13 @@ def _cg_iter_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dims", "radius", "tol", "maxiter", "unroll")
+    jax.jit,
+    static_argnames=("dims", "radius", "tol", "maxiter", "unroll", "_skip_loop"),
 )
-def fused_cg(win, b, dinv, *, dims, radius, tol, maxiter, x0=None, unroll=1):
+def fused_cg(
+    win, b, dinv, *, dims, radius, tol, maxiter, x0=None, unroll=1,
+    _skip_loop=False,
+):
     """Jacobi-preconditioned CG on a windowed stencil operator.
 
     ``win (W^3, S)`` window-ordered stencil values (layout contract of
@@ -130,7 +156,6 @@ def fused_cg(win, b, dinv, *, dims, radius, tol, maxiter, x0=None, unroll=1):
     w = 2 * radius + 1
     w3 = w * w * w
     s = int(np.prod(dims))
-    assert win.shape == (w3, s), (win.shape, (w3, s))
     dtype = b.dtype
 
     # window-channel order: z-major scan (ops.pallas_stencil)
@@ -145,11 +170,27 @@ def fused_cg(win, b, dinv, *, dims, radius, tol, maxiter, x0=None, unroll=1):
     s_ext = _round_up(s_pad + 2 * halo, 128)
     nb = _round_up(w3, KP) // KP
 
-    win_p = jnp.zeros((nb * KP, s_pad), dtype)
-    win_p = win_p.at[:w3, :s].set(win)
-    win_p = win_p.reshape(nb, KP, s_pad)
-    b_p = jnp.zeros((1, s_pad), dtype).at[0, :s].set(b)
-    dinv_p = jnp.zeros((1, s_pad), dtype).at[0, :s].set(dinv)
+    if win.ndim == 3:
+        # already in the (nb, KP, s_pad) DMA-block layout
+        # (cg_weight_layout, done once on the host at setup)
+        assert win.shape == (nb, KP, s_pad), (win.shape, (nb, KP, s_pad))
+        win_p = win
+    else:
+        assert win.shape == (w3, s), (win.shape, (w3, s))
+        win_p = jnp.zeros((nb * KP, s_pad), dtype)
+        win_p = win_p.at[:w3, :s].set(win)
+        win_p = win_p.reshape(nb, KP, s_pad)
+
+    def pad1(v):
+        # skip the pad when the caller already laid the vector out at
+        # s_pad (zero-filled tail) — unaligned dynamic-update-slices in
+        # the step body are pathologically slow on TPU (see cg_weight_layout)
+        if v.shape[-1] == s_pad:
+            return v.reshape(1, s_pad)
+        return jnp.zeros((1, s_pad), dtype).at[0, :s].set(v[:s])
+
+    b_p = pad1(b)
+    dinv_p = pad1(dinv)
 
     kernel = functools.partial(
         _cg_iter_kernel, offs=offs, halo=halo, s_pad=s_pad, nb=nb,
@@ -186,8 +227,19 @@ def fused_cg(win, b, dinv, *, dims, radius, tol, maxiter, x0=None, unroll=1):
         from cfd_with_cuda_tpu.ops.pallas_stencil import pallas_window_spmv
 
         x_init = jnp.zeros((1, s_pad), dtype).at[0, :s].set(x0[:s])
-        ax0 = pallas_window_spmv(win, x0[:s], dims, radius)
-        r0 = b_p - jnp.zeros((1, s_pad), dtype).at[0, :s].set(ax0)
+        if win.ndim == 3:
+            # apply the pre-padded weights directly: the nb*KP - w3
+            # zero-weight filler rows get offset 0 (they contribute
+            # nothing), avoiding a 16 MB slice back to (w3, s)
+            offs_fill = offs + (0,) * (nb * KP - w3)
+            ax0 = pallas_window_spmv(
+                win.reshape(nb * KP, s_pad), x_init, dims,
+                offsets=offs_fill, trim=False,
+            )[0]
+            r0 = b_p - ax0[None, :s_pad]
+        else:
+            ax0 = pallas_window_spmv(win, x0[:s], dims, radius)
+            r0 = b_p - jnp.zeros((1, s_pad), dtype).at[0, :s].set(ax0)
     z0 = r0 * dinv_p
     rz0 = jnp.sum(r0 * z0).reshape(1, 1)
     rn0 = jnp.sqrt(jnp.sum(r0 * r0))
@@ -216,7 +268,14 @@ def fused_cg(win, b, dinv, *, dims, radius, tol, maxiter, x0=None, unroll=1):
             x, r, p_ext, rz, rn_s = call(win_p, x, r, p_ext, dinv_p, rz)
         return x, r, p_ext, rz, rn_s[0, 0], k + unroll
 
-    x, r, p_ext, rz, rn, k = lax.while_loop(
-        cond, body, (x_init, r0, p_ext0, rz0, rn0, jnp.asarray(0))
-    )
+    init = (x_init, r0, p_ext0, rz0, rn0, jnp.asarray(0))
+    if _skip_loop:
+        # profiling bisect (scripts/ablate_step.py "cgnoloop"): run the
+        # full init (weight pad included) but no while_loop — isolates
+        # loop-structure cost from init cost
+        x, r, p_ext, rz, rn, k = init
+        # keep every init op live against DCE (win_p pad included)
+        x = x + 0.0 * rz[0, 0] + 0.0 * win_p[0, 0][None, :]
+    else:
+        x, r, p_ext, rz, rn, k = lax.while_loop(cond, body, init)
     return KrylovResult(x[0, :s], k, rn)

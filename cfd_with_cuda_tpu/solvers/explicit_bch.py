@@ -67,6 +67,12 @@ class ExplicitState(NamedTuple):
     un: jax.Array      # (3, NN) velocity at time n (lane-major layout)
     pn: jax.Array      # (NNp,)  pressure at time n
     unp1_prev: jax.Array
+    # last pressure-rate solution: warm start for the next step's first
+    # (cold) CG solve — pdot varies slowly step to step, and the first
+    # sub-iteration's solve dominates the pressure cost (44 cold vs ~10
+    # warm iterations at NE27000).  The CG bound stays relative to ||b||
+    # so the converged iterate is unchanged.
+    pdot: jax.Array
 
 
 @dataclass
@@ -359,6 +365,16 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                 if v.ndim >= 1 and v.shape[-1] == S and key not in ("ltog",):
                     widths = [(0, 0)] * (v.ndim - 1) + [(0, extra)]
                     self.d[key] = np.pad(v, widths)
+        # fused-CG weights pre-padded to the kernel's DMA-block layout:
+        # built in-step they sit under two while_loop nests where XLA
+        # re-materialises the ~16 MB pad every pressure solve (measured
+        # ~9 ms/solve at NE27000 — 25x the rest of the step)
+        if self._pallas_layout:
+            from cfd_with_cuda_tpu.ops.pallas_cg import cg_weight_layout
+
+            self.d["Z_win_cg"] = cg_weight_layout(
+                self.d["Z_win"], (cx, cy, cz), z_dia.radius
+            )
         # channel-pair -> K DIA offset-index table: on a box grid, every
         # elemental entry (i, j) lands at the FIXED window offset
         # fo(j) - fo(i), so the fused path assembles A(un) into K's DIA
@@ -417,7 +433,10 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         # copy=True: run() donates the state, so it must not alias bc_vel
         un = jnp.array(self.d["bc_vel"], dtype=dtype, copy=True)
         pn = jnp.zeros(self.nnp, dtype=dtype)
-        return ExplicitState(un=un, pn=pn, unp1_prev=jnp.zeros_like(un))
+        return ExplicitState(
+            un=un, pn=pn, unp1_prev=jnp.zeros_like(un),
+            pdot=jnp.zeros_like(pn),
+        )
 
     def state_from_fields(self, u: np.ndarray, p: np.ndarray) -> ExplicitState:
         """u is accepted as (NN, 3) in deck node order; stored (3, NN)
@@ -435,6 +454,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             un=jnp.asarray(u, dtype=dtype),
             pn=jnp.asarray(p, dtype=dtype),
             unp1_prev=jnp.zeros((3, self.s_pad), dtype=dtype),
+            pdot=jnp.zeros(p.shape, dtype=dtype),
         )
 
     # ------------------------------------------------------------- one step
@@ -445,7 +465,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         dt = self.dt
         nn = self.nn
 
-        un, pn, unp1_prev0 = state
+        un, pn, unp1_prev0, pdot0 = state
         zeros_u = jnp.zeros_like(un)
         # profiling scaffolding: scripts/ablate_step.py sets _ablate to
         # compile step variants with components nulled out and recover
@@ -589,12 +609,14 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             if "cg" in abl:
                 return KrylovResult(precond(r2), jnp.asarray(0), jnp.asarray(0.0))
             if use_fused:
+                win_cg = d["Z_win_cg"] if "Z_win_cg" in d else d["Z_win"][:, :self.nnp]
                 return fused_cg(
-                    d["Z_win"][:, :self.nnp], r2, 1.0 / d["Z_diag"],
+                    win_cg, r2, 1.0 / d["Z_diag"],
                     dims=self.coarse_dims, radius=self.z_radius,
                     tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,
                     x0=x0 if cfg.pressure_warm_start else None,
                     unroll=max(1, int(cfg.pressure_cg_unroll)),
+                    _skip_loop="cgnoloop" in abl,
                 )
             return cg(
                 z_mul, r2,
@@ -677,11 +699,11 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         init = (
             jnp.asarray(1), jnp.asarray(False),
             un, unp1_prev0, zeros_u, pn, zeros_u,
-            un, pn, jnp.asarray(0), jnp.zeros_like(pn),
+            un, pn, jnp.asarray(0), pdot0,
         )
         out = lax.while_loop(cond, iteration, init)
         (it, _conv, _uhp, unp1_prev, _acc, _pprev, _kacc, unp1, pnp1, cgit,
-         _pdot) = out
+         pdot_out) = out
 
         max_acc = jnp.max(jnp.abs(unp1 - un)) / dt
         mon = self.monitor_node
@@ -690,7 +712,9 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             p_mon=pnp1[self.monitor_node_p], max_acc=max_acc, iters=it - 1,
             cg_iters=cgit, mom_iters=jnp.asarray(0),
         )
-        new_state = ExplicitState(un=unp1, pn=pnp1, unp1_prev=unp1_prev)
+        new_state = ExplicitState(
+            un=unp1, pn=pnp1, unp1_prev=unp1_prev, pdot=pdot_out
+        )
         return new_state, stats
 
     def _monitor_only(self, state: ExplicitState) -> StepStats:

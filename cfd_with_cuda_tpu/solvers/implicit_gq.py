@@ -401,6 +401,15 @@ class ImplicitGQSolver(ChunkedTimeLoop):
                 if v.ndim >= 1 and v.shape[-1] == S:
                     widths = [(0, 0)] * (v.ndim - 1) + [(0, extra)]
                     self.d[key] = np.pad(v, widths)
+        # fused-CG weights pre-padded to the kernel's DMA-block layout
+        # (see explicit_bch._try_structured: built in-step the ~16 MB pad
+        # re-runs every solve under the while_loop nest, ~9 ms each)
+        if self._pallas_layout:
+            from cfd_with_cuda_tpu.ops.pallas_cg import cg_weight_layout
+
+            self.d["Z_win_cg"] = cg_weight_layout(
+                self.d["Z_win"], (cx, cy, cz), z_dia.radius
+            )
         self.pin_grid = int(perm_p[self.pin]) if self.pin > 0 else -1
         mon = find_monitor_node(
             deck.coords,
@@ -569,7 +578,8 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             from cfd_with_cuda_tpu.ops.pallas_cg import fused_cg
 
             sol = fused_cg(
-                d["Z_win"], r2, 1.0 / d["Z_diag"],
+                d["Z_win_cg"] if "Z_win_cg" in d else d["Z_win"],
+                r2, 1.0 / d["Z_diag"],
                 dims=self.coarse_dims, radius=self.z_radius,
                 tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,
                 unroll=max(1, int(cfg.pressure_cg_unroll)),

@@ -34,7 +34,7 @@ __all__ = [
 ]
 
 # bump when solver snapshot layouts change — stale entries just miss
-SCHEMA = 7
+SCHEMA = 9
 
 
 def default_cache_dir() -> str | None:
@@ -61,8 +61,19 @@ def _hash_update(h, obj) -> None:
         h.update(repr(obj).encode())
 
 
-# config fields that do not shape the setup arrays
-_CFG_EXCLUDE = frozenset({"verbose", "setup_cache"})
+# Config fields that SHAPE the setup arrays (an include-list: runtime
+# knobs like tolerances, maxiters, chunk sizes, warm starts and backend
+# names churned the fingerprint in round 2 — every tweak re-ran the
+# ~minutes host setup and left another ~1 GB snapshot behind).  Backend
+# selection enters through the `extra` args (class name + pallas-layout
+# flag), which the solvers already pass.
+_CFG_INCLUDE = (
+    "dtype_policy",      # array dtypes
+    "pressure_pin_large",  # baked into Z values
+    "pressure_precond",  # MG hierarchy built (or not) at setup
+    "structured",        # DIA-vs-ELL operator layout
+    "shard_pad",         # device-array padding
+)
 # deck fields that are provenance, not content
 _DECK_EXCLUDE = frozenset({"source_path"})
 
@@ -75,9 +86,8 @@ def deck_fingerprint(deck, config, *extra) -> str:
         if field.name in _DECK_EXCLUDE:
             continue
         _hash_update(h, getattr(deck, field.name))
-    for field in dataclasses.fields(config):
-        if field.name not in _CFG_EXCLUDE:
-            _hash_update(h, getattr(config, field.name))
+    for name in _CFG_INCLUDE:
+        _hash_update(h, getattr(config, name))
     for item in extra:
         _hash_update(h, item)
     return h.hexdigest()[:32]

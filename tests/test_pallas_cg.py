@@ -71,6 +71,34 @@ def test_fused_cg_matches_xla_cg(pinned_z):
     assert np.linalg.norm(r) <= 1.2e-6 * np.linalg.norm(b)
 
 
+def test_fused_cg_prepadded_weights(pinned_z):
+    """cg_weight_layout'd weights + warm start give the identical solve
+    (the setup-time layout only moves the zero-pad off the hot path)."""
+    from cfd_with_cuda_tpu.ops.pallas_cg import cg_weight_layout
+
+    win, diag, dims, radius = pinned_z
+    rng = np.random.default_rng(7)
+    s = int(np.prod(dims))
+    b = rng.standard_normal(s).astype(np.float32)
+    b[0] = 0.0
+    x0 = rng.standard_normal(s).astype(np.float32) * 0.1
+
+    args = dict(dims=dims, radius=radius, tol=1e-6, maxiter=200)
+    pre = jnp.asarray(cg_weight_layout(win, dims, radius))
+    for warm in (None, x0):
+        ref = fused_cg(
+            jnp.asarray(win), jnp.asarray(b), jnp.asarray(1.0 / diag),
+            x0=warm, **args,
+        )
+        out = fused_cg(
+            pre, jnp.asarray(b), jnp.asarray(1.0 / diag), x0=warm, **args
+        )
+        assert int(out.iters) == int(ref.iters)
+        np.testing.assert_allclose(
+            np.asarray(out.x), np.asarray(ref.x), rtol=1e-5, atol=1e-7
+        )
+
+
 def test_fused_cg_zero_rhs(pinned_z):
     """b = 0 must return x = 0 in 0 iterations (breakdown guards)."""
     win, diag, dims, radius = pinned_z
