@@ -135,6 +135,59 @@ def _cg_iter_kernel(
     rno_ref[0, 0] = jnp.sqrt(jnp.sum(r * r))
 
 
+def _cg_init_kernel(
+    win_ref, b_ref, dinv_ref, x0_ref,
+    xo_ref, ro_ref, pexto_ref, rzo_ref, rno_ref, bno_ref,
+    x0ext_buf, wbuf, sem,
+    *, offs: tuple[int, ...], halo: int, s_pad: int, nb: int, warm: bool,
+):
+    """CG init (r0 = b - A x0, z0 = r0*dinv, p_ext0, rz0, rn0, ||b||) as
+    ONE pallas_call: profiling showed the equivalent XLA op chain costs
+    ~9.5 ms per solve in-context (scripts/diag_cg_cost.py slope fit — the
+    while body is 13.9 us/iter but maxiter->0 leaves ~9.5 ms/solve), i.e.
+    the init glue dominated the whole pressure solve.  Same streamed-
+    weight structure as :func:`_cg_iter_kernel`; ``warm=False`` skips the
+    A x0 apply (cold start, r0 = b)."""
+    w3 = len(offs)
+    b = b_ref[:]
+    if warm:
+        x0ext_buf[:] = jnp.zeros_like(x0ext_buf)
+        x0ext_buf[:, pl.ds(halo, s_pad)] = x0_ref[:]
+
+        def dma(slot, blk):
+            i32 = lambda v: jnp.asarray(v, jnp.int32)
+            return pltpu.make_async_copy(
+                win_ref.at[i32(blk)], wbuf.at[i32(slot)], sem.at[i32(slot)]
+            )
+
+        dma(0, 0).start()
+        ax = jnp.zeros((1, s_pad), b.dtype)
+        for blk in range(nb):
+            if blk + 1 < nb:
+                dma((blk + 1) % 2, blk + 1).start()
+            dma(blk % 2, blk).wait()
+            for j in range(KP):
+                idx = blk * KP + j
+                if idx >= w3:
+                    break
+                ax = ax + (
+                    wbuf[blk % 2, j, :][None, :]
+                    * x0ext_buf[:, pl.ds(halo + offs[idx], s_pad)]
+                )
+        r0 = b - ax
+        xo_ref[:] = x0_ref[:]
+    else:
+        r0 = b
+        xo_ref[:] = jnp.zeros_like(xo_ref)
+    z0 = r0 * dinv_ref[:]
+    ro_ref[:] = r0
+    pexto_ref[:] = jnp.zeros_like(pexto_ref)
+    pexto_ref[:, pl.ds(halo, s_pad)] = z0
+    rzo_ref[0, 0] = jnp.sum(r0 * z0)
+    rno_ref[0, 0] = jnp.sqrt(jnp.sum(r0 * r0))
+    bno_ref[0, 0] = jnp.sqrt(jnp.sum(b * b))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("dims", "radius", "tol", "maxiter", "unroll", "_skip_loop"),
@@ -219,35 +272,44 @@ def fused_cg(
     )
 
     # init: r = b - A x0, z = r*dinv, p = z  (ops.krylov.cg init;
-    # x0 warm start, e.g. the previous sub-iteration's pdot)
-    if x0 is None:
-        x_init = jnp.zeros((1, s_pad), dtype)
-        r0 = b_p
+    # x0 warm start, e.g. the previous sub-iteration's pdot), fused into
+    # ONE pallas_call — the equivalent XLA op chain measured ~9.5 ms per
+    # solve in-context (see _cg_init_kernel)
+    warm = x0 is not None
+    if warm:
+        x0_p = x0.reshape(1, -1) if x0.shape[-1] == s_pad else pad1(x0)
     else:
-        from cfd_with_cuda_tpu.ops.pallas_stencil import pallas_window_spmv
-
-        x_init = jnp.zeros((1, s_pad), dtype).at[0, :s].set(x0[:s])
-        if win.ndim == 3:
-            # apply the pre-padded weights directly: the nb*KP - w3
-            # zero-weight filler rows get offset 0 (they contribute
-            # nothing), avoiding a 16 MB slice back to (w3, s)
-            offs_fill = offs + (0,) * (nb * KP - w3)
-            ax0 = pallas_window_spmv(
-                win.reshape(nb * KP, s_pad), x_init, dims,
-                offsets=offs_fill, trim=False,
-            )[0]
-            r0 = b_p - ax0[None, :s_pad]
-        else:
-            ax0 = pallas_window_spmv(win, x0[:s], dims, radius)
-            r0 = b_p - jnp.zeros((1, s_pad), dtype).at[0, :s].set(ax0)
-    z0 = r0 * dinv_p
-    rz0 = jnp.sum(r0 * z0).reshape(1, 1)
-    rn0 = jnp.sqrt(jnp.sum(r0 * r0))
-    p_ext0 = jnp.zeros((1, s_ext), dtype).at[0, halo:halo + s_pad].set(z0[0])
+        x0_p = b_p                              # dummy operand, unread
+    init_kernel = functools.partial(
+        _cg_init_kernel, offs=offs, halo=halo, s_pad=s_pad, nb=nb, warm=warm,
+    )
+    init_call = pl.pallas_call(
+        init_kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),      # win stays in HBM
+            vec(s_pad), vec(s_pad), vec(s_pad),
+        ],
+        out_specs=[vec(s_pad), vec(s_pad), vec(s_ext), smem, smem, smem],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, s_pad), dtype),
+            jax.ShapeDtypeStruct((1, s_pad), dtype),
+            jax.ShapeDtypeStruct((1, s_ext), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+            jax.ShapeDtypeStruct((1, 1), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, s_ext), dtype),
+            pltpu.VMEM((2, KP, s_pad), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_interpret(),
+    )
+    x_init, r0, p_ext0, rz0, rn0_s, bn_s = init_call(win_p, b_p, dinv_p, x0_p)
+    rn0 = rn0_s[0, 0]
     # tolerance is relative to ||b|| (not the warm-started residual),
     # matching ops.krylov.cg's bound
-    b_norm = jnp.sqrt(jnp.sum(b_p * b_p))
-    bound = jnp.maximum(tol * b_norm, 0.0)
+    bound = jnp.maximum(tol * bn_s[0, 0], 0.0)
 
     # convergence is only checked between unrolled trips, so the
     # iteration cap and reported iteration counts are in multiples of

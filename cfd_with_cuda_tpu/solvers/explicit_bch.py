@@ -375,6 +375,13 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             self.d["Z_win_cg"] = cg_weight_layout(
                 self.d["Z_win"], (cx, cy, cz), z_dia.radius
             )
+            # inverse Jacobi diagonal, pre-padded to the CG kernel's lane
+            # width: computing 1/Z_diag (+ pad) per pressure solve sits
+            # under two while_loop nests where XLA cannot hoist it
+            nnp_pad = -(-self.nnp // 128) * 128
+            zdinv = np.zeros(nnp_pad, dtype)
+            zdinv[: self.nnp] = 1.0 / z_diag[: self.nnp]
+            self.d["Z_dinv_cg"] = dev(zdinv)
         # channel-pair -> K DIA offset-index table: on a box grid, every
         # elemental entry (i, j) lands at the FIXED window offset
         # fo(j) - fo(i), so the fused path assembles A(un) into K's DIA
@@ -610,8 +617,9 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                 return KrylovResult(precond(r2), jnp.asarray(0), jnp.asarray(0.0))
             if use_fused:
                 win_cg = d["Z_win_cg"] if "Z_win_cg" in d else d["Z_win"][:, :self.nnp]
+                dinv = d["Z_dinv_cg"] if "Z_dinv_cg" in d else 1.0 / d["Z_diag"]
                 return fused_cg(
-                    win_cg, r2, 1.0 / d["Z_diag"],
+                    win_cg, r2, dinv,
                     dims=self.coarse_dims, radius=self.z_radius,
                     tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,
                     x0=x0 if cfg.pressure_warm_start else None,

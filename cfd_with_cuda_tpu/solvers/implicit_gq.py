@@ -410,6 +410,13 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             self.d["Z_win_cg"] = cg_weight_layout(
                 self.d["Z_win"], (cx, cy, cz), z_dia.radius
             )
+            # pre-padded inverse Jacobi diagonal (see explicit_bch: the
+            # per-solve 1/Z_diag + pad cannot be hoisted out of the
+            # while_loop nest by XLA)
+            nnp_pad = -(-self.nnp // 128) * 128
+            zdinv = np.zeros(nnp_pad, dtype)
+            zdinv[: self.nnp] = 1.0 / np.asarray(self.d["Z_diag"])[: self.nnp]
+            self.d["Z_dinv_cg"] = dev(zdinv)
         self.pin_grid = int(perm_p[self.pin]) if self.pin > 0 else -1
         mon = find_monitor_node(
             deck.coords,
@@ -579,7 +586,8 @@ class ImplicitGQSolver(ChunkedTimeLoop):
 
             sol = fused_cg(
                 d["Z_win_cg"] if "Z_win_cg" in d else d["Z_win"],
-                r2, 1.0 / d["Z_diag"],
+                r2,
+                d["Z_dinv_cg"] if "Z_dinv_cg" in d else 1.0 / d["Z_diag"],
                 dims=self.coarse_dims, radius=self.z_radius,
                 tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,
                 unroll=max(1, int(cfg.pressure_cg_unroll)),
