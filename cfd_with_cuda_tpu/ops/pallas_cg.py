@@ -253,7 +253,7 @@ def fused_cg(
     call = pl.pallas_call(
         kernel,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # win stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # win stays in HBM
             vec(s_pad), vec(s_pad), vec(s_ext), vec(s_pad), smem,
         ],
         out_specs=[vec(s_pad), vec(s_pad), vec(s_ext), smem, smem],
@@ -286,7 +286,7 @@ def fused_cg(
     init_call = pl.pallas_call(
         init_kernel,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # win stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # win stays in HBM
             vec(s_pad), vec(s_pad), vec(s_pad),
         ],
         out_specs=[vec(s_pad), vec(s_pad), vec(s_ext), smem, smem, smem],

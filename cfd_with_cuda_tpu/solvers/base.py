@@ -47,6 +47,22 @@ class ChunkedTimeLoop:
     def _monitor_only(self, state) -> StepStats:
         raise NotImplementedError
 
+    @property
+    def spmd_mesh(self):
+        """The n-device mesh for the sharded Pallas fast path
+        (``SolverConfig.spmd_devices`` > 1 with the fused layout active),
+        else None.  A property — not a setup attribute — so snapshot-
+        restored solvers get it too; ``jax.sharding.Mesh`` hashes by
+        device list + axis names, so rebuilding yields jit-cache hits."""
+        if (
+            getattr(self, "_pallas_layout", False)
+            and int(getattr(self.config, "spmd_devices", 0) or 0) > 1
+        ):
+            from cfd_with_cuda_tpu.parallel.sharding import make_mesh
+
+            return make_mesh(int(self.config.spmd_devices))
+        return None
+
     def _time_step(self, params, state):
         """One time step; ``params`` is the device-array dict ``self.d``.
 

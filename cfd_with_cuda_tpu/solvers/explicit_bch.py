@@ -356,7 +356,9 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         if self._pallas_layout:
             from cfd_with_cuda_tpu.ops.pallas_stencil import BLK
 
-            pad = int(np.lcm(pad, BLK))
+            # sharded fast path: every shard's local block must be a
+            # whole number of Pallas BLK blocks (parallel/sharded_stencil)
+            pad = int(np.lcm(pad, BLK * max(1, int(self.config.spmd_devices))))
         self.s_pad = -(-S // pad) * pad
         if self.s_pad > S:
             extra = self.s_pad - S
@@ -553,25 +555,60 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
 
             Sr3 = self.nn
             sp = self.s_pad
-            if "kmul" not in abl:
-                k_mul = lambda u: pallas_window_spmv(
-                    d["K_vals"], u, self.fine_dims,
-                    offsets=self.k_offsets, trim=False,
+            spmd_mesh = self.spmd_mesh
+            if spmd_mesh is not None:
+                # multi-chip: big velocity-grid applies shard with flat
+                # halo ppermutes; div all-gathers for the replicated
+                # coarse-grid pressure solve (parallel/sharded_stencil)
+                from cfd_with_cuda_tpu.ops.pallas_stencil import window_offsets
+                from cfd_with_cuda_tpu.parallel.sharded_stencil import (
+                    sharded_div_window,
+                    sharded_grad_window,
+                    sharded_window_spmv,
                 )
-            if "grad" not in abl:
-                def grad(p):
-                    pf = coarse_to_fine(p, self.coarse_dims, self.fine_dims)
-                    return pallas_grad_window(
-                        d["G_win"], jnp.pad(pf, (0, sp - Sr3)),
-                        self.fine_dims, self.g_radius, trim=False,
+
+                g_offs = window_offsets(self.fine_dims, self.g_radius)
+                gt_offs = window_offsets(self.fine_dims, self.gt_radius)
+                if "kmul" not in abl:
+                    k_mul = lambda u: sharded_window_spmv(
+                        d["K_vals"], u, self.fine_dims,
+                        offsets=self.k_offsets, mesh=spmd_mesh,
                     )
-            if "div" not in abl:
-                div = lambda u: fine_to_coarse(
-                    pallas_div_window(
-                        d["GT_win"], u, self.fine_dims, self.gt_radius,
-                    ),
-                    self.coarse_dims, self.fine_dims,
-                )
+                if "grad" not in abl:
+                    def grad(p):
+                        pf = coarse_to_fine(p, self.coarse_dims, self.fine_dims)
+                        return sharded_grad_window(
+                            d["G_win"], jnp.pad(pf, (0, sp - Sr3)),
+                            self.fine_dims, offsets=g_offs, mesh=spmd_mesh,
+                        )
+                if "div" not in abl:
+                    div = lambda u: fine_to_coarse(
+                        sharded_div_window(
+                            d["GT_win"], u, self.fine_dims,
+                            offsets=gt_offs, mesh=spmd_mesh,
+                        )[:Sr3],
+                        self.coarse_dims, self.fine_dims,
+                    )
+            else:
+                if "kmul" not in abl:
+                    k_mul = lambda u: pallas_window_spmv(
+                        d["K_vals"], u, self.fine_dims,
+                        offsets=self.k_offsets, trim=False,
+                    )
+                if "grad" not in abl:
+                    def grad(p):
+                        pf = coarse_to_fine(p, self.coarse_dims, self.fine_dims)
+                        return pallas_grad_window(
+                            d["G_win"], jnp.pad(pf, (0, sp - Sr3)),
+                            self.fine_dims, self.g_radius, trim=False,
+                        )
+                if "div" not in abl:
+                    div = lambda u: fine_to_coarse(
+                        pallas_div_window(
+                            d["GT_win"], u, self.fine_dims, self.gt_radius,
+                        ),
+                        self.coarse_dims, self.fine_dims,
+                    )
         if fused_conv:
             # elemental convection matrices A_e(un) ONCE per step (un is
             # fixed across sub-iterations, ref calculateMatrixA uses Un
@@ -590,10 +627,20 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                     self.elem_dims, self.fine_dims, sp,
                 )
                 ka_vals = d["K_vals"] + conv_vals
-                ka_mul = lambda u: pallas_window_spmv(
-                    ka_vals, u, self.fine_dims,
-                    offsets=self.k_offsets, trim=False,
-                )
+                if self.spmd_mesh is not None:
+                    from cfd_with_cuda_tpu.parallel.sharded_stencil import (
+                        sharded_window_spmv as _sspmv,
+                    )
+
+                    ka_mul = lambda u: _sspmv(
+                        ka_vals, u, self.fine_dims,
+                        offsets=self.k_offsets, mesh=self.spmd_mesh,
+                    )
+                else:
+                    ka_mul = lambda u: pallas_window_spmv(
+                        ka_vals, u, self.fine_dims,
+                        offsets=self.k_offsets, trim=False,
+                    )
             else:
                 # matrix-free: per sub-iteration gather -> batched
                 # per-element matvec -> dilated-pad scatter (cheaper per
@@ -618,14 +665,40 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             if use_fused:
                 win_cg = d["Z_win_cg"] if "Z_win_cg" in d else d["Z_win"][:, :self.nnp]
                 dinv = d["Z_dinv_cg"] if "Z_dinv_cg" in d else 1.0 / d["Z_diag"]
-                return fused_cg(
-                    win_cg, r2, dinv,
-                    dims=self.coarse_dims, radius=self.z_radius,
-                    tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,
-                    x0=x0 if cfg.pressure_warm_start else None,
-                    unroll=max(1, int(cfg.pressure_cg_unroll)),
-                    _skip_loop="cgnoloop" in abl,
-                )
+                warm = x0 if cfg.pressure_warm_start else None
+
+                def solve(win_, r2_, dinv_, *x0_):
+                    return fused_cg(
+                        win_, r2_, dinv_,
+                        dims=self.coarse_dims, radius=self.z_radius,
+                        tol=cfg.pressure_cg_tol,
+                        maxiter=cfg.pressure_cg_maxiter,
+                        x0=x0_[0] if x0_ else None,
+                        unroll=max(1, int(cfg.pressure_cg_unroll)),
+                        _skip_loop="cgnoloop" in abl,
+                    )
+
+                if self.spmd_mesh is not None:
+                    # the coarse-grid CG runs REPLICATED per device: at
+                    # ~0.1 MB per vector, redundant compute beats two
+                    # latency-bound psums per iteration (see
+                    # parallel/sharded_stencil.py module docstring); a
+                    # pallas_call also cannot sit under GSPMD directly
+                    from jax import shard_map
+                    from jax.sharding import PartitionSpec as P
+
+                    args = (win_cg, r2, dinv) + (
+                        (warm,) if warm is not None else ()
+                    )
+                    return shard_map(
+                        solve, mesh=self.spmd_mesh,
+                        in_specs=tuple(P() for _ in args),
+                        out_specs=P(),
+                        check_vma=False,
+                    )(*args)
+                return solve(win_cg, r2, dinv, *(
+                    (warm,) if warm is not None else ()
+                ))
             return cg(
                 z_mul, r2,
                 tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,

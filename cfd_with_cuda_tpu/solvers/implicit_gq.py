@@ -335,7 +335,8 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         if self._pallas_layout:
             from cfd_with_cuda_tpu.ops.pallas_stencil import BLK
 
-            pad = int(np.lcm(pad, BLK))
+            # sharded fast path: local blocks must be whole BLK blocks
+            pad = int(np.lcm(pad, BLK * max(1, int(self.config.spmd_devices))))
         self.s_pad = -(-S // pad) * pad
         n_off = mk_dia.vals.shape[0]
 
@@ -532,23 +533,62 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             from cfd_with_cuda_tpu.ops.stencil import coarse_to_fine, fine_to_coarse
 
             sp = self.s_pad
-            a_mul = lambda x: pallas_window_spmv(
-                a_vals, x, self.fine_dims, offsets=self.a_offsets, trim=False,
-            )
-            m_mul = lambda x: pallas_window_spmv(
-                d["M_vals"], x, self.fine_dims, offsets=self.a_offsets,
-                trim=False,
-            )
-            grad = lambda p: pallas_grad_window(
-                d["G_win"],
-                jnp.pad(coarse_to_fine(p, self.coarse_dims, self.fine_dims),
-                        (0, sp - S)),
-                self.fine_dims, self.g_radius, trim=False,
-            )
-            div = lambda u: fine_to_coarse(
-                pallas_div_window(d["GT_win"], u, self.fine_dims, self.gt_radius),
-                self.coarse_dims, self.fine_dims,
-            )
+            spmd_mesh = self.spmd_mesh
+            if spmd_mesh is not None:
+                # multi-chip fast path (parallel/sharded_stencil): sharded
+                # applies with flat halo ppermutes; div all-gathers for
+                # the replicated coarse-grid pressure CG
+                from cfd_with_cuda_tpu.ops.pallas_stencil import window_offsets
+                from cfd_with_cuda_tpu.parallel.sharded_stencil import (
+                    sharded_div_window,
+                    sharded_grad_window,
+                    sharded_window_spmv,
+                )
+
+                g_offs = window_offsets(self.fine_dims, self.g_radius)
+                gt_offs = window_offsets(self.fine_dims, self.gt_radius)
+                a_mul = lambda x: sharded_window_spmv(
+                    a_vals, x, self.fine_dims, offsets=self.a_offsets,
+                    mesh=spmd_mesh,
+                )
+                m_mul = lambda x: sharded_window_spmv(
+                    d["M_vals"], x, self.fine_dims, offsets=self.a_offsets,
+                    mesh=spmd_mesh,
+                )
+                grad = lambda p: sharded_grad_window(
+                    d["G_win"],
+                    jnp.pad(coarse_to_fine(p, self.coarse_dims, self.fine_dims),
+                            (0, sp - S)),
+                    self.fine_dims, offsets=g_offs, mesh=spmd_mesh,
+                )
+                div = lambda u: fine_to_coarse(
+                    sharded_div_window(
+                        d["GT_win"], u, self.fine_dims, offsets=gt_offs,
+                        mesh=spmd_mesh,
+                    )[:S],
+                    self.coarse_dims, self.fine_dims,
+                )
+            else:
+                a_mul = lambda x: pallas_window_spmv(
+                    a_vals, x, self.fine_dims, offsets=self.a_offsets,
+                    trim=False,
+                )
+                m_mul = lambda x: pallas_window_spmv(
+                    d["M_vals"], x, self.fine_dims, offsets=self.a_offsets,
+                    trim=False,
+                )
+                grad = lambda p: pallas_grad_window(
+                    d["G_win"],
+                    jnp.pad(coarse_to_fine(p, self.coarse_dims, self.fine_dims),
+                            (0, sp - S)),
+                    self.fine_dims, self.g_radius, trim=False,
+                )
+                div = lambda u: fine_to_coarse(
+                    pallas_div_window(
+                        d["GT_win"], u, self.fine_dims, self.gt_radius
+                    ),
+                    self.coarse_dims, self.fine_dims,
+                )
         else:
             a_mul = lambda x: dia_spmv(a_vals, x, self.a_offsets)
             m_mul = lambda x: dia_spmv(d["M_vals"], x, self.a_offsets)
@@ -584,14 +624,31 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         if use_fused:
             from cfd_with_cuda_tpu.ops.pallas_cg import fused_cg
 
-            sol = fused_cg(
-                d["Z_win_cg"] if "Z_win_cg" in d else d["Z_win"],
-                r2,
-                d["Z_dinv_cg"] if "Z_dinv_cg" in d else 1.0 / d["Z_diag"],
-                dims=self.coarse_dims, radius=self.z_radius,
-                tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,
-                unroll=max(1, int(cfg.pressure_cg_unroll)),
-            )
+            win_cg = d["Z_win_cg"] if "Z_win_cg" in d else d["Z_win"]
+            dinv = d["Z_dinv_cg"] if "Z_dinv_cg" in d else 1.0 / d["Z_diag"]
+
+            def solve(win_, r2_, dinv_):
+                return fused_cg(
+                    win_, r2_, dinv_,
+                    dims=self.coarse_dims, radius=self.z_radius,
+                    tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,
+                    unroll=max(1, int(cfg.pressure_cg_unroll)),
+                )
+
+            if self.spmd_mesh is not None:
+                # replicated coarse-grid CG (see explicit_bch: redundant
+                # per-device compute beats per-iteration psums at this
+                # size, and a pallas_call cannot sit under GSPMD)
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                sol = shard_map(
+                    solve, mesh=self.spmd_mesh,
+                    in_specs=(P(), P(), P()), out_specs=P(),
+                    check_vma=False,
+                )(win_cg, r2, dinv)
+            else:
+                sol = solve(win_cg, r2, dinv)
         else:
             if self.use_mg:
                 from cfd_with_cuda_tpu.ops.multigrid import make_vcycle

@@ -95,6 +95,13 @@ class SolverConfig:
     # replaces gather-bound ELL SpMV with shift+FMA stencils; "never"
     # forces ELL; "force" errors if the mesh is not a box grid.
     structured: str = "auto"
+    # Multi-chip SPMD over the Pallas fast path: >1 shards the windowed
+    # stencil applies over an n-device mesh via shard_map (flat halo
+    # ppermutes; parallel/sharded_stencil.py) and runs the coarse-grid
+    # pressure CG replicated.  0/1 = single-device kernels.  The legacy
+    # GSPMD path (pure-XLA ops sharded by annotation alone) remains the
+    # fallback whenever the fused path is ineligible.
+    spmd_devices: int = 0
     # Steps fused into one jitted device loop (0/1 = one step per dispatch).
     steps_per_chunk: int = 10
     # Pad the fine-grid axis to a multiple of this (structured path only):
@@ -151,7 +158,14 @@ class SolverConfig:
             return False
         if self.pressure_backend == "pallas":
             return True
-        return jax.default_backend() == "tpu" and jax.device_count() == 1
+        if jax.default_backend() != "tpu":
+            return False
+        # multi-chip: eligible when the sharded fast path is configured
+        # for exactly the visible device count (shard_map kernels +
+        # replicated pressure CG); otherwise single-chip only
+        if jax.device_count() > 1:
+            return self.spmd_devices == jax.device_count()
+        return True
 
     def krylov_dot_dtype(self):
         """f64 accumulation dtype for Krylov inner products under the

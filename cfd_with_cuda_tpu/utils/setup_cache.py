@@ -73,6 +73,7 @@ _CFG_INCLUDE = (
     "pressure_precond",  # MG hierarchy built (or not) at setup
     "structured",        # DIA-vs-ELL operator layout
     "shard_pad",         # device-array padding
+    "spmd_devices",      # sharded fast path changes the pad multiple
 )
 # deck fields that are provenance, not content
 _DECK_EXCLUDE = frozenset({"source_path"})

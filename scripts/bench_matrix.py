@@ -9,6 +9,11 @@ Rows (BASELINE.json:6-12; the headline explicit-cavity row is bench.py):
                ELL/gather path every converter-imported mesh takes
   duct       — square duct 48x32x32 (regenerates the missing
                bendingSquareDuct_49x33x33 class via the channel generator)
+  stokes     — steady Stokes GLS solve on the reference's own
+               fem3dCavityInputNE1000.inp legacy deck (wall-clock of the
+               whole linear solve, not ms/step)
+  segregated — Horoutunian segregated solver, same NE1000 deck, 20 outer
+               iterations (the reference's serial CPU+CUSP workload)
 
 Appends measured rows to BENCH_MATRIX.md.  Run ALONE on an idle host:
 the axon TPU relay shares the single CPU core and concurrent load
@@ -29,6 +34,11 @@ REF_DECK = "/root/reference/inputFiles/lidDrivenCavity/lidDrivenCavity_NE27000.i
 OUT = REPO / "BENCH_MATRIX.md"
 
 
+LEGACY_DECK = (
+    "/root/reference/oldFiles/segregatedSolver/fem3dCavityInputNE1000.inp"
+)
+
+
 def cavity():
     from cfd_with_cuda_tpu.io.deck import read_deck
     from cfd_with_cuda_tpu.mesh.generators import cavity_deck
@@ -36,6 +46,15 @@ def cavity():
     if os.path.exists(REF_DECK):
         return read_deck(REF_DECK)
     return cavity_deck(30, cluster=2.0, viscosity=0.01, dt=0.001)
+
+
+def legacy_cavity():
+    from cfd_with_cuda_tpu.io.deck import read_deck
+    from cfd_with_cuda_tpu.mesh.generators import cavity_legacy_deck
+
+    if os.path.exists(LEGACY_DECK):
+        return read_deck(LEGACY_DECK)
+    return cavity_legacy_deck(10, viscosity=1.0)
 
 
 def measure(solver, n_measure, chunk):
@@ -82,6 +101,41 @@ def run_row(name):
         cls = ExplicitBCHSolver
         cfg = SolverConfig(dtype_policy=DTypePolicy.F32, **kw)
         n = 50
+    elif name == "stokes":
+        from cfd_with_cuda_tpu.solvers.monolithic import StokesSolver
+
+        deck = legacy_cavity()
+        t0 = time.time()
+        solver = StokesSolver(deck, solver="gmres", solver_tol=1e-8)
+        setup = time.time() - t0
+        t0 = time.time()
+        u, p, iters = solver.solve()
+        ms = (time.time() - t0) * 1e3
+        row = (
+            f"| {name} | {ms:.0f} (whole solve) | {int(iters)} | - | - "
+            f"| {setup:.0f} | NE1000 legacy deck, GMRES 1e-8, "
+            f"u finite={bool(__import__('numpy').isfinite(u).all())} |"
+        )
+        print(row, flush=True)
+        return row
+    elif name == "segregated":
+        from cfd_with_cuda_tpu.solvers.segregated import SegregatedSolver
+
+        deck = legacy_cavity()
+        t0 = time.time()
+        solver = SegregatedSolver(deck, solver_tol=1e-8, solver_maxiter=500)
+        setup = time.time() - t0
+        n_outer = 20
+        t0 = time.time()
+        u, p, hist = solver.solve(max_outer=n_outer, tol=1e-12)
+        ms = (time.time() - t0) / len(hist) * 1e3
+        row = (
+            f"| {name} | {ms:.0f} (per outer iter) | - | - | {len(hist)} "
+            f"| {setup:.0f} | NE1000 legacy deck, max_dp tail "
+            f"{hist[-1]['max_dp']:.2e} |"
+        )
+        print(row, flush=True)
+        return row
     else:
         raise SystemExit(f"unknown row {name!r}")
 
@@ -109,7 +163,10 @@ def main():
     from cfd_with_cuda_tpu.utils.setup_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    rows = sys.argv[1:] or ["implicit", "explicit64", "mixed", "ell", "duct"]
+    rows = sys.argv[1:] or [
+        "implicit", "explicit64", "mixed", "ell", "duct", "stokes",
+        "segregated",
+    ]
     results = []
     for name in rows:
         try:
