@@ -167,19 +167,21 @@ class ChunkedTimeLoop:
         done_steps = 0
         next_dump = tecplot_every
         t = deck.t_ini
-        while done_steps < total:
-            state, packed = step_fn(self.d, state)
-            # ONE device->host pull per chunk
+
+        def consume(packed, base_step):
+            """Pull one chunk's packed stats and append history rows.
+            Returns (done flag, new t)."""
+            nonlocal t
             stats, done = unpack_chunk_stats(packed)
             for k in range(chunk_len):
-                if done_steps + k >= total:
+                if base_step + k >= total:
                     break
                 if stats.iters[k] == 0:      # skipped (already steady)
                     break
                 t += deck.dt
                 row = {f: float(getattr(stats, f)[k]) for f in StepStats._fields}
                 row["time"] = t
-                row["step"] = done_steps + k + 1
+                row["step"] = base_step + k + 1
                 history.append(row)
                 if self.config.verbose:
                     print(
@@ -188,13 +190,34 @@ class ChunkedTimeLoop:
                         f" {row['w_mon']:13.5f} {row['p_mon']:13.5f}"
                         f" {row['max_acc']:12.5f}"
                     )
+            return done
+
+        # Chunk-pipelined loop: dispatch chunk k+1 BEFORE pulling chunk
+        # k's stats, so the (tunnel-proxied, ~45 ms latency) D2H of the
+        # packed monitor matrix and the host-side row bookkeeping overlap
+        # chunk k+1's device execution instead of draining the pipeline
+        # every chunk.  jax dispatch is async; only np.asarray(packed)
+        # blocks.  Steady-stop lags one chunk, which is free: the
+        # in-graph `done` flag makes the extra chunk's steps monitor-only
+        # no-ops (`_monitor_only` via lax.cond in `_chunk_fn`).
+        pending = None            # (packed, base_step) awaiting the pull
+        done = False
+        while done_steps < total and not done:
+            state, packed = step_fn(self.d, state)
+            if pending is not None:
+                done = consume(*pending)
+            pending = (packed, done_steps)
             done_steps += chunk_len
             if tecplot_path is not None and done_steps >= next_dump:
+                # dumping syncs state anyway, so finish the pull first
+                if pending is not None:
+                    done = consume(*pending)
+                    pending = None
                 self.write_tecplot(state, tecplot_path)
                 self._write_restart_next_to(tecplot_path, state)
                 next_dump += tecplot_every
-            if done:
-                break
+        if pending is not None:
+            consume(*pending)
         if tecplot_path is not None:
             self.write_tecplot(state, tecplot_path)
             self._write_restart_next_to(tecplot_path, state)
