@@ -14,6 +14,11 @@ Rows (BASELINE.json:6-12; the headline explicit-cavity row is bench.py):
                whole linear solve, not ms/step)
   segregated — Horoutunian segregated solver, same NE1000 deck, 20 outer
                iterations (the reference's serial CPU+CUSP workload)
+  ne85       — explicit BCH, 44^3-element cavity (85,184 hexes): the
+               missing lidDrivenCavity_NE85000 deck class regenerated
+               with the cube generator (.MISSING_LARGE_BLOBS)
+  ne125      — explicit BCH, 50^3-element cavity (125,000 hexes):
+               drivenCavityNE125000 class, ditto
 
 Appends measured rows to BENCH_MATRIX.md.  Run ALONE on an idle host:
 the axon TPU relay shares the single CPU core and concurrent load
@@ -101,6 +106,14 @@ def run_row(name):
         cls = ExplicitBCHSolver
         cfg = SolverConfig(dtype_policy=DTypePolicy.F32, **kw)
         n = 50
+    elif name in ("ne85", "ne125"):
+        from cfd_with_cuda_tpu.mesh.generators import cavity_deck
+
+        n_side = {"ne85": 44, "ne125": 50}[name]
+        deck = cavity_deck(n_side, cluster=2.0, viscosity=0.01, dt=0.001)
+        cls = ExplicitBCHSolver
+        cfg = SolverConfig(dtype_policy=DTypePolicy.F32, **kw)
+        n = 20
     elif name == "stokes":
         from cfd_with_cuda_tpu.solvers.monolithic import StokesSolver
 
@@ -165,7 +178,7 @@ def main():
     enable_compilation_cache()
     rows = sys.argv[1:] or [
         "implicit", "explicit64", "mixed", "ell", "duct", "stokes",
-        "segregated",
+        "segregated", "ne85", "ne125",
     ]
     results = []
     for name in rows:
