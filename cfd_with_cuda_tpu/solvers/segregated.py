@@ -117,6 +117,20 @@ class SegregatedSolver:
         ]
         self._conn = deck.conn
 
+        # monitor-point LIST: the legacy dialect carries several probe
+        # coordinates and the reference prints every one per outer
+        # iteration (``segregatedSolver.cpp:2463-2480``); fall back to
+        # the single monitor of the fractional-step dialects
+        from cfd_with_cuda_tpu.mesh.topology import find_monitor_node
+
+        pts = deck.monitor_points
+        if pts is None and deck.monitor_xyz is not None:
+            pts = np.asarray(deck.monitor_xyz)[None, :]
+        self.monitor_nodes = (
+            np.asarray([find_monitor_node(deck.coords, xyz) for xyz in pts])
+            if pts is not None else np.empty(0, np.int64)
+        )
+
     def _momentum_elemental(self, phase: int, u: np.ndarray, v, w_):
         """Ke for the phase momentum equation (calcGlobalSys_mom)."""
         tab = self.tab
@@ -227,13 +241,26 @@ class SegregatedSolver:
             vel = new_vel
 
             max_dp = np.abs(dp).max()
+            mons = [
+                {
+                    "node": int(nd),
+                    "u": float(vel[0][nd]), "v": float(vel[1][nd]),
+                    "w": float(vel[2][nd]), "p": float(p[nd]),
+                }
+                for nd in self.monitor_nodes
+            ]
             history.append({
                 "iter": it, "max_dp": float(max_dp), "p_iters": p_iters,
-                "mom_iters": mom_iters,
+                "mom_iters": mom_iters, "monitors": mons,
             })
             if verbose:
                 print(f"outer {it:3d}  max|dp|={max_dp:.3e} "
                       f"p_it={p_iters} mom_it={mom_iters}")
+                for m in mons:  # ref monitor table :2463-2480
+                    print(
+                        f"    node {m['node']:7d}  {m['u']:12.5f}"
+                        f" {m['v']:12.5f} {m['w']:12.5f} {m['p']:12.5f}"
+                    )
             # the reference only accepts convergence from iteration 2 on —
             # iteration 1's dp is identically zero for a clean start
             # (:2483 "maxChange < nonlinearTol && iter > 1")

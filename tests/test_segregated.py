@@ -75,3 +75,21 @@ def test_relaxation_from_deck():
     deck.relaxation = (0.3, 0.3, 0.3, 0.7)
     s = SegregatedSolver(deck)
     np.testing.assert_allclose(s.alpha, [0.3, 0.3, 0.3, 0.7])
+
+
+def test_monitor_point_list(run):
+    """The legacy dialect carries a monitor LIST; every point is probed
+    per outer iteration (ref segregatedSolver.cpp:2463-2480)."""
+    deck, u, p, hist = run
+    deck2 = cavity_legacy_deck(3, viscosity=0.1)
+    deck2.monitor_points = np.array(
+        [[0.0, 0.0, 0.0], [0.33, 0.33, 0.33], [1.0, 1.0, 1.0]]
+    )
+    solver = SegregatedSolver(deck2, solver_tol=1e-8, solver_maxiter=200)
+    assert len(solver.monitor_nodes) == 3
+    _, _, h = solver.solve(max_outer=2, tol=1e-12)
+    mons = h[-1]["monitors"]
+    assert len(mons) == 3
+    assert all(np.isfinite([m["u"], m["v"], m["w"], m["p"]]).all() for m in mons)
+    # distinct probe coordinates hit distinct nodes
+    assert len({m["node"] for m in mons}) == 3
