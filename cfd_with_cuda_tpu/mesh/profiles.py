@@ -78,8 +78,11 @@ def apply_inlet_profile(deck, coords: np.ndarray, bc_of_node: np.ndarray,
     if not sel.any():
         return bc_vel
     cross = [a for a in range(3) if a != int(axis)]
-    lo = coords.min(axis=0)
-    hi = coords.max(axis=0)
+    # normalise by the INLET PATCH's own extent (not the whole mesh):
+    # identical for full-cross-section ducts, and correct when the inlet
+    # covers only part of the section (backward-facing step)
+    lo = coords[sel].min(axis=0)
+    hi = coords[sel].max(axis=0)
     span = np.where(hi - lo > 0, hi - lo, 1.0)
     eta = (coords[sel, cross[0]] - lo[cross[0]]) / span[cross[0]]
     zeta = (coords[sel, cross[1]] - lo[cross[1]]) / span[cross[1]]

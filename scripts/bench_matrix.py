@@ -19,6 +19,9 @@ Rows (BASELINE.json:6-12; the headline explicit-cavity row is bench.py):
                with the cube generator (.MISSING_LARGE_BLOBS)
   ne125      — explicit BCH, 50^3-element cavity (125,000 hexes):
                drivenCavityNE125000 class, ditto
+  bfs        — backward-facing step 48x20x20 (~17k hexes after the step
+               cut; backwardFacingStepNE144600 class at reduced size):
+               the unstructured ELL path with inflow + natural outflow
 
 Appends measured rows to BENCH_MATRIX.md.  Run ALONE on an idle host:
 the axon TPU relay shares the single CPU core and concurrent load
@@ -114,6 +117,16 @@ def run_row(name):
         cls = ExplicitBCHSolver
         cfg = SolverConfig(dtype_policy=DTypePolicy.F32, **kw)
         n = 20
+    elif name == "bfs":
+        from cfd_with_cuda_tpu.mesh.generators import bfs_deck
+
+        deck = bfs_deck(
+            48, 20, 20, lengths=(15.0, 2.0, 2.0), step_frac=(0.2, 0.5),
+            viscosity=0.01, dt=0.002,
+        )
+        cls = ExplicitBCHSolver
+        cfg = SolverConfig(dtype_policy=DTypePolicy.F32, **kw)
+        n = 20
     elif name == "stokes":
         from cfd_with_cuda_tpu.solvers.monolithic import StokesSolver
 
@@ -178,7 +191,7 @@ def main():
     enable_compilation_cache()
     rows = sys.argv[1:] or [
         "implicit", "explicit64", "mixed", "ell", "duct", "stokes",
-        "segregated", "ne85", "ne125",
+        "segregated", "ne85", "ne125", "bfs",
     ]
     results = []
     for name in rows:
