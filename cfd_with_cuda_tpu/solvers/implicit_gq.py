@@ -607,9 +607,14 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         r1 = r1 - grad(pdiff2)
         r1 = r1 * d["bc_mask"][None, :] + d["bc_vel"]
 
+        # warm starts: momentum from u^k (changes O(dt)/step), pressure
+        # increment from the previous step's increment.  The stopping
+        # bounds stay relative to ||b||, so only iteration counts change.
+        warm = bool(getattr(cfg, "implicit_warm_start", False))
         mom = self._momentum_solver(
             a_mul,
             r1,
+            x0=uk_prev if warm else None,
             tol=cfg.momentum_tol,
             atol=cfg.momentum_abs_tol,
             maxiter=cfg.momentum_maxiter,
@@ -621,20 +626,23 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         r2 = (-1.0 / dt) * div(uk) * d["p_mask"]
         if self.pin_grid > 0:
             r2 = r2.at[self.pin_grid].set(0.0)
+        pdiff0 = (pk_prev - pk_prevprev) if warm else None
         if use_fused:
             from cfd_with_cuda_tpu.ops.pallas_cg import fused_cg
 
             win_cg = d["Z_win_cg"] if "Z_win_cg" in d else d["Z_win"]
             dinv = d["Z_dinv_cg"] if "Z_dinv_cg" in d else 1.0 / d["Z_diag"]
 
-            def solve(win_, r2_, dinv_):
+            def solve(win_, r2_, dinv_, *x0_):
                 return fused_cg(
                     win_, r2_, dinv_,
                     dims=self.coarse_dims, radius=self.z_radius,
                     tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,
+                    x0=x0_[0] if x0_ else None,
                     unroll=max(1, int(cfg.pressure_cg_unroll)),
                 )
 
+            args = (win_cg, r2, dinv) + ((pdiff0,) if pdiff0 is not None else ())
             if self.spmd_mesh is not None:
                 # replicated coarse-grid CG (see explicit_bch: redundant
                 # per-device compute beats per-iteration psums at this
@@ -644,11 +652,11 @@ class ImplicitGQSolver(ChunkedTimeLoop):
 
                 sol = shard_map(
                     solve, mesh=self.spmd_mesh,
-                    in_specs=(P(), P(), P()), out_specs=P(),
+                    in_specs=tuple(P() for _ in args), out_specs=P(),
                     check_vma=False,
-                )(win_cg, r2, dinv)
+                )(*args)
             else:
-                sol = solve(win_cg, r2, dinv)
+                sol = solve(*args)
         else:
             if self.use_mg:
                 from cfd_with_cuda_tpu.ops.multigrid import make_vcycle
@@ -663,6 +671,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
                     d["Z_win"], p, self.coarse_dims, self.z_radius
                 ),
                 r2,
+                x0=pdiff0,
                 tol=cfg.pressure_cg_tol,
                 maxiter=cfg.pressure_cg_maxiter,
                 dot_dtype=cfg.krylov_dot_dtype(),
@@ -704,9 +713,11 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         # ---- momentum solve, 3 directions batched (:3972-4033); Jacobi
         # preconditioner like Paralution's (:4213-4216)
         a_diag = a_csr[d["diag_slots"]]
+        warm = bool(getattr(cfg, "implicit_warm_start", False))
         mom = self._momentum_solver(
             lambda x: ell_spmv(a_ell, d["A_cols"], x),
             r1,
+            x0=uk_prev if warm else None,
             tol=cfg.momentum_tol,
             atol=cfg.momentum_abs_tol,
             maxiter=cfg.momentum_maxiter,
@@ -725,6 +736,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         sol = cg(
             lambda p: ell_spmv(d["Z_vals"], d["Z_cols"], p),
             r2,
+            x0=(pk_prev - pk_prevprev) if warm else None,
             tol=cfg.pressure_cg_tol,
             maxiter=cfg.pressure_cg_maxiter,
             dot_dtype=cfg.krylov_dot_dtype(),

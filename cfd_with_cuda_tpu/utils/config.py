@@ -79,6 +79,12 @@ class SolverConfig:
     # the solution quality contract is unchanged — only the iteration
     # count drops.  Fused-Pallas path only.
     pressure_warm_start: bool = False
+    # Warm-start the implicit integrator's solves: momentum BiCGStab from
+    # u^k (the unknown changes O(dt) per step) and the pressure-increment
+    # CG from the previous step's increment.  Same relative-to-||b||
+    # stopping bounds, so the solution contract is unchanged — only the
+    # iteration counts drop.  Off = the reference's zero initial guesses.
+    implicit_warm_start: bool = True
     # Convection treatment on the fused Pallas path: "matrix-free"
     # precomputes the elemental matrices A_e(un) once per step and
     # applies them per sub-iteration (gather -> batched matvec ->
