@@ -24,11 +24,12 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 REF_DECK = "/root/reference/inputFiles/lidDrivenCavity/lidDrivenCavity_NE27000.inp"
 
-N_MEASURE = 200
+N_MEASURE = 300
 # warmup must run >= steps_per_chunk steps so the measured phase reuses the
 # compiled chunk graph (a shorter warmup makes the measurement eat a fresh
 # XLA compile)
-N_WARM = 50
+N_WARM = 100
+CHUNK = 100
 ORACLE_STEPS = 2
 
 
@@ -58,7 +59,7 @@ def main():
     cfg = SolverConfig(
         dtype_policy=DTypePolicy.F32,
         pressure_cg_tol=1e-6,
-        steps_per_chunk=50,
+        steps_per_chunk=CHUNK,
         setup_cache="auto",
         # fused Pallas pressure path with warm-started CG: the bound
         # stays relative to ||b|| (same solution-quality contract as the
