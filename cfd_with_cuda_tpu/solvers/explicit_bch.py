@@ -228,7 +228,24 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             # pressure monitor: corner node ids < NNp index pn directly
             self.monitor_node_p = self.monitor_node
         if not self.structured:
-            self.s_pad = self.nn
+            # ELL path shard padding: pad the velocity-node axis to a
+            # shard_pad multiple so SPMD runs can 1-D-shard the fields
+            # and ELL operators (parallel/sharding).  Padded rows carry
+            # zero operator values / col 0, md_inv 1, bc_mask 0 — results
+            # are bit-identical to the unpadded layout.  Pressure-rowed
+            # tables (GT/Z) stay at NNp: the small pressure solve remains
+            # replicated.
+            pad = max(1, int(self.config.shard_pad))
+            self.s_pad = -(-self.nn // pad) * pad
+            e = self.s_pad - self.nn
+            if e:
+                dd = self.d
+                padn = lambda a: np.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, e)])
+                for k in ("K_vals", "K_cols", "G_vals", "G_cols",
+                          "bc_mask", "bc_vel"):
+                    dd[k] = padn(dd[k])
+                for k in ("md_inv", "md_orig_inv"):
+                    dd[k] = np.pad(dd[k], (0, e), constant_values=1.0)
         self.dt = float(deck.dt)
         self._compiled = {}
         if cache_dir:
@@ -459,6 +476,8 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             pg = np.empty_like(p)
             pg[self.perm_p] = p
             u, p = ug, pg
+        elif self.s_pad > self.nn:       # ELL shard padding
+            u = np.pad(u, ((0, 0), (0, self.s_pad - self.nn)))
         return ExplicitState(
             un=jnp.asarray(u, dtype=dtype),
             pn=jnp.asarray(p, dtype=dtype),
@@ -726,9 +745,10 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                 )
                 r1 -= jnp.pad(conv, ((0, 0), (0, self.s_pad - Sr2)))
             else:
-                r1 -= convection_apply(
+                conv = convection_apply(
                     un, unp_half_prev, d["ltog"], d["Sv"], d["gDSv"], d["gq"], nn
                 )
+                r1 -= jnp.pad(conv, ((0, 0), (0, self.s_pad - nn)))
             r1 -= grad(pn)
             r1 = r1 * mask
             unp_half = un + dt * r1 * d["md_inv"][None, :]
