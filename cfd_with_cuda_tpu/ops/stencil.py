@@ -197,16 +197,47 @@ def assemble_window_values(
 def scatter_elem_stencil(
     r_e: jax.Array, local_off, elem_dims, fine_dims
 ) -> jax.Array:
-    """Elemental scatter-add on a structured grid via dilated pads.
+    """Elemental scatter-add on a structured grid, parity-grouped.
 
-    ``r_e (C, NEN, NE)`` -> ``(C, S)``.  Each local node's per-element
-    values are placed on the fine grid with ``lax.pad`` interior dilation
-    (one zero between elements) plus edge offsets — a dense XLA op chain,
-    no scatter.  Replaces ``segment_sum`` on the structured path.
+    ``r_e (C, NEN, NE)`` -> ``(C, S)``.  Naively each of the 27 local
+    nodes needs its own interior-dilated ``lax.pad`` placement — 27
+    full-output writes at the ~10x-under-bandwidth dilated-write rate
+    (docs/PERF.md).  But offsets sharing a PARITY CLASS land on the same
+    stride-2 fine lattice, shifted by one element: accumulate them with
+    contiguous element-space shifted adds first (full-bandwidth, 1/8th
+    size), then place each of the (at most 8) class blocks with ONE
+    dilated pad — 27 dilated full-output writes become 8.
     """
-    acc = 0.0
+    ex, ey, ez = elem_dims
+    fx, fy, fz = fine_dims
+    c = r_e.shape[0]
+    groups: dict = {}
     for i, off in enumerate(local_off):
-        acc = acc + place_elem_field(r_e[:, i], off, elem_dims, fine_dims)
+        p = (off[0] & 1, off[1] & 1, off[2] & 1)
+        groups.setdefault(p, []).append((i, off))
+    acc = 0.0
+    for (px, py, pz), items in groups.items():
+        # class-(px,py,pz) lattice: fine position = p + 2q, q in [0, g)
+        gx = (fx - px + 1) // 2
+        gy = (fy - py + 1) // 2
+        gz = (fz - pz + 1) // 2
+        g = jnp.zeros((c, gz, gy, gx), r_e.dtype)
+        for i, off in items:
+            dx = (off[0] - px) // 2
+            dy = (off[1] - py) // 2
+            dz = (off[2] - pz) // 2
+            v3 = r_e[:, i].reshape(c, ez, ey, ex)
+            g = g.at[:, dz:dz + ez, dy:dy + ey, dx:dx + ex].add(v3)
+        placed = lax.pad(
+            g, jnp.zeros((), r_e.dtype),
+            (
+                (0, 0, 0),
+                (pz, fz - pz - (2 * gz - 1), 1),
+                (py, fy - py - (2 * gy - 1), 1),
+                (px, fx - px - (2 * gx - 1), 1),
+            ),
+        )
+        acc = acc + placed.reshape(c, -1)
     return acc
 
 

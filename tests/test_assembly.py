@@ -149,3 +149,28 @@ def test_convection_matrix_free_matches_oracle(small_mesh):
     np.testing.assert_allclose(
         pat.to_scipy(np.asarray(vals)).toarray(), A_dense, atol=1e-11
     )
+
+
+def test_parity_grouped_scatter_matches_per_channel_pads():
+    """scatter_elem_stencil's parity grouping (8 dilated pads) must equal
+    the naive 27 per-channel placements bit-for-bit."""
+    import jax.numpy as jnp
+
+    from cfd_with_cuda_tpu.ops.stencil import (
+        place_elem_field,
+        scatter_elem_stencil,
+    )
+
+    rng = np.random.default_rng(7)
+    for elem_dims in [(3, 3, 3), (4, 2, 5)]:
+        ex, ey, ez = elem_dims
+        fine = (2 * ex + 1, 2 * ey + 1, 2 * ez + 1)
+        local_off = tuple(
+            (x, y, z) for z in range(3) for y in range(3) for x in range(3)
+        )
+        r_e = jnp.asarray(rng.standard_normal((3, 27, ex * ey * ez)))
+        ref = 0.0
+        for i, off in enumerate(local_off):
+            ref = ref + place_elem_field(r_e[:, i], off, elem_dims, fine)
+        new = scatter_elem_stencil(r_e, local_off, elem_dims, fine)
+        np.testing.assert_allclose(np.asarray(new), np.asarray(ref), atol=1e-12)
