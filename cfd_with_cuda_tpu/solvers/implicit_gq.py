@@ -244,6 +244,18 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             "bc_vel": dev(bc_vel.T),
             "diag_slots": np.asarray(diag_all_slots),
         }
+        # ELL shard padding (see explicit_bch): pad the velocity-node
+        # axis to a shard_pad multiple so SPMD runs can 1-D-shard fields
+        # and node-rowed ELL operators.  Padded rows: zero vals / col 0 /
+        # bc_mask 0; the per-step assembled a_ell is padded in-graph.
+        pad = max(1, int(cfg.shard_pad))
+        self.s_pad = -(-mesh.nn // pad) * pad
+        e = self.s_pad - mesh.nn
+        if e:
+            padn = lambda a: np.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, e)])
+            for k in ("m_vals", "A_cols", "G_vals", "G_cols",
+                      "bc_mask", "bc_vel"):
+                self.d[k] = padn(self.d[k])
         self._ell_shape = mk_ell.vals.shape
         self._nnz = nnz
         self.monitor_node = find_monitor_node(
@@ -468,6 +480,8 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             pg = np.empty_like(p)
             pg[self.perm_p] = p
             u, p = ug, pg
+        elif self.s_pad > self.nn:       # ELL shard padding
+            u = np.pad(u, ((0, 0), (0, self.s_pad - self.nn)))
         # pk and pk_prev must be DISTINCT buffers: run() donates the state,
         # and aliased leaves make XLA reject the donation (buffer donated
         # twice)
@@ -703,6 +717,10 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         a_ell = jnp.zeros(
             self._ell_shape[0] * self._ell_shape[1], a_csr.dtype
         ).at[d["csr_to_ell"]].set(a_csr).reshape(self._ell_shape)
+        if self.s_pad > self._ell_shape[1]:       # ELL shard padding
+            a_ell = jnp.pad(
+                a_ell, ((0, 0), (0, self.s_pad - self._ell_shape[1]))
+            )
 
         # ---- step1 RHS: (M/dt) u^k - G (2 p^k - p^{k-1})  (:3937-4005)
         pdiff2 = 2.0 * pk_prev - pk_prevprev
@@ -713,6 +731,11 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         # ---- momentum solve, 3 directions batched (:3972-4033); Jacobi
         # preconditioner like Paralution's (:4213-4216)
         a_diag = a_csr[d["diag_slots"]]
+        if self.s_pad > self._ell_shape[1]:
+            a_diag = jnp.pad(
+                a_diag, (0, self.s_pad - self._ell_shape[1]),
+                constant_values=1.0,
+            )
         warm = bool(getattr(cfg, "implicit_warm_start", False))
         mom = self._momentum_solver(
             lambda x: ell_spmv(a_ell, d["A_cols"], x),
@@ -770,7 +793,8 @@ class ImplicitGQSolver(ChunkedTimeLoop):
     # ------------------------------------------------------------------- io
     def fields(self, state: ImplicitState):
         """(u (NN,3), p (NNp,)) as numpy (host convention, deck order)."""
-        u = np.asarray(state.uk)
+        u = np.asarray(state.uk)[:, : self.nn] if not self.structured \
+            else np.asarray(state.uk)
         pf = np.asarray(state.pk)
         if self.structured:
             u = u[:, self.perm]

@@ -156,3 +156,54 @@ def test_sharded_unstructured_ell_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(s2.un), np.asarray(ss.un), atol=1e-11)
     np.testing.assert_allclose(np.asarray(s2.pn), np.asarray(ss.pn), atol=1e-10)
     assert float(st2.u_mon[0]) == pytest.approx(float(st2s.u_mon[0]), abs=1e-12)
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
+)
+def test_sharded_unstructured_ell_implicit_matches_single_device():
+    """Implicit GQ on the unstructured ELL path under SPMD (per-step CSR
+    assembly + csr->ell scatter + batched BiCGStab crossing shards)."""
+    from cfd_with_cuda_tpu.mesh.generators import bfs_deck
+    from cfd_with_cuda_tpu.parallel.sharding import (
+        make_mesh,
+        shard_params,
+        shard_state,
+    )
+    from cfd_with_cuda_tpu.solvers.base import unpack_chunk_stats
+    from cfd_with_cuda_tpu.solvers.implicit_gq import ImplicitGQSolver
+    from cfd_with_cuda_tpu.utils.config import DTypePolicy, SolverConfig
+
+    deck = bfs_deck(
+        12, 4, 4, lengths=(6.0, 2.0, 2.0), step_frac=(0.25, 0.5),
+        viscosity=0.05, dt=0.01,
+    )
+    # momentum_tol tight: at the production 1e-6, BiCGStab stops inside a
+    # tolerance ball and the sharded run's different f64 reduction order
+    # exits 2-3 iterations apart — a solver-tolerance artifact, not a
+    # sharding defect (measured: 5.6e-3 at 1e-6, 7.5e-9 at 1e-12)
+    cfg = SolverConfig(
+        dtype_policy=DTypePolicy.F64, pressure_cg_tol=1e-12,
+        momentum_tol=1e-12, steps_per_chunk=1, shard_pad=8,
+    )
+    solver = ImplicitGQSolver(deck, cfg)
+    assert not solver.structured
+    assert solver.s_pad % 8 == 0 and solver.s_pad > solver.nn
+    fn = jax.jit(solver._chunk_fn(1))
+
+    s0 = solver.initial_state()
+    s1, _ = fn(solver.d, s0)
+    s2, packed = fn(solver.d, s1)
+    st2, _ = unpack_chunk_stats(packed)
+
+    mesh = make_mesh(8)
+    big = (solver.s_pad, int(solver.d["gq"].shape[-1]))
+    params = shard_params(solver.d, mesh, big)
+    ss = shard_state(solver.initial_state(), mesh, big)
+    ss, _ = fn(params, ss)
+    ss, packed_s = fn(params, ss)
+    st2s, _ = unpack_chunk_stats(packed_s)
+
+    np.testing.assert_allclose(np.asarray(s2.uk), np.asarray(ss.uk), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s2.pk), np.asarray(ss.pk), atol=1e-7)
+    assert float(st2.u_mon[0]) == pytest.approx(float(st2s.u_mon[0]), abs=1e-7)
