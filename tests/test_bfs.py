@@ -87,3 +87,23 @@ def test_implicit_bfs_flow():
     r = hist[-1]
     assert np.isfinite([r["u_mon"], r["p_mon"]]).all()
     assert r["u_mon"] > 0.02
+
+
+def test_bfs_deck_write_read_roundtrip(tmp_path):
+    """The generated BFS deck must survive the .inp writer/reader
+    round trip (the format contract every generated deck shares with the
+    reference's fractional-step dialect)."""
+    from cfd_with_cuda_tpu.io.deck import read_deck, write_fractional_deck
+
+    deck = small_deck()
+    path = tmp_path / "bfs.inp"
+    write_fractional_deck(path, deck)
+    back = read_deck(path)
+    assert back.dialect == "fractional"
+    assert back.ne == deck.ne and back.ncn == deck.ncn
+    np.testing.assert_allclose(back.coords, deck.coords, atol=1e-12)
+    np.testing.assert_array_equal(back.conn, deck.conn)
+    np.testing.assert_array_equal(back.bc_vel_faces, deck.bc_vel_faces)
+    np.testing.assert_array_equal(back.bc_out_faces, deck.bc_out_faces)
+    assert back.zero_pressure_node == deck.zero_pressure_node
+    np.testing.assert_allclose(back.monitor_xyz, deck.monitor_xyz)
