@@ -49,6 +49,9 @@ __all__ = [
     "pallas_window_spmv",
     "pallas_grad_window",
     "pallas_div_window",
+    "pallas_div_compact",
+    "compact_gt_window",
+    "div_class_pairs",
     "window_offsets",
 ]
 
@@ -193,3 +196,117 @@ def pallas_div_window(gt_win, u, dims, radius):
         combine=lambda wv, xs: jnp.sum(wv * xs, axis=0, keepdims=True),
     )
     return out[0, :s]
+
+
+# ---------------------------------------------------------------- compact div
+#
+# G^T rows exist only at the embedded coarse positions (class-(0,0,0) of
+# the fine grid), so the fine-grid window table ``GT_win (3, W^3, S)`` is
+# structurally zero on 7/8 of its row axis — and pallas_div_window
+# streamed all of it (340 MB/apply at NE27000, the single largest
+# per-step HBM stream).  The compact form samples the table at the
+# coarse rows only (44 MB) and reads u through its 8 parity-class
+# extractions: fine col = 2q + off decomposes into (class p = off mod 2,
+# coarse shift dq = (off - p)//2), so each of the 125 window slots is a
+# radius-1 coarse-grid offset into one class extraction.
+
+def div_class_pairs(coarse_dims, radius: int = 2):
+    """(class_index, coarse flat offset) per fine window slot, in the
+    z-major window-scan order of ``window_offsets`` (radius 2)."""
+    cx, cy, _ = coarse_dims
+    pairs = []
+    for dz in range(-radius, radius + 1):
+        for dy in range(-radius, radius + 1):
+            for dx in range(-radius, radius + 1):
+                p = ((dx % 2), (dy % 2), (dz % 2))
+                q = ((dx - p[0]) // 2, (dy - p[1]) // 2, (dz - p[2]) // 2)
+                pidx = (p[2] * 2 + p[1]) * 2 + p[0]
+                pairs.append((pidx, (q[2] * cy + q[1]) * cx + q[0]))
+    return tuple(pairs)
+
+
+def compact_gt_window(gt_win: np.ndarray, fine_dims, coarse_dims) -> np.ndarray:
+    """(3, W^3, S_c_pad) <- fine GT window sampled at the embedded coarse
+    rows (host, setup time).  ``gt_win (3, W^3, S_fine...)``."""
+    fx, fy, _ = fine_dims
+    cx, cy, cz = coarse_dims
+    qx, qy, qz = np.meshgrid(
+        np.arange(cx), np.arange(cy), np.arange(cz), indexing="ij"
+    )
+    emb = ((2 * qz * fy + 2 * qy) * fx + 2 * qx).ravel(order="F")
+    out = gt_win[..., emb]
+    s_c = cx * cy * cz
+    s_pad = -(-s_c // BLK) * BLK
+    return np.pad(out, ((0, 0), (0, 0), (0, s_pad - s_c)))
+
+
+def _extract_classes(u, fine_dims, coarse_dims, s_cpad: int, halo: int):
+    """(24, halo + s_cpad + halo + 128) <- the 8 parity-class extractions
+    of u (3, >=S_fine), each zero-padded to the common coarse box and
+    halo-extended.  Rows 3p+d hold class p of direction d."""
+    fx, fy, fz = fine_dims
+    cx, cy, cz = coarse_dims
+    u3 = u[:, : fx * fy * fz].reshape(3, fz, fy, fx)
+    rows = []
+    for pz in (0, 1):
+        for py in (0, 1):
+            for px in (0, 1):
+                g = u3[:, pz::2, py::2, px::2]
+                g = jnp.pad(
+                    g,
+                    (
+                        (0, 0),
+                        (0, cz - g.shape[1]),
+                        (0, cy - g.shape[2]),
+                        (0, cx - g.shape[3]),
+                    ),
+                ).reshape(3, -1)
+                rows.append(g)
+    x = jnp.concatenate(rows, axis=0)                      # (24, S_c)
+    return jnp.pad(x, ((0, 0), (halo, s_cpad - x.shape[-1] + halo + 128)))
+
+
+@functools.partial(jax.jit, static_argnames=("fine_dims", "coarse_dims"))
+def pallas_div_compact(gt_cwin, u, fine_dims, coarse_dims):
+    """(S_c_pad,) divergence via compact coarse-row tables: y[q] =
+    sum_d sum_w GT[d, w, q] * u_d[2q + off(w)].  Drop-in for
+    ``fine_to_coarse(pallas_div_window(...))`` (result padded to the BLK
+    multiple, zeros beyond S_c; slice [:NNp] as needed)."""
+    cx, cy, cz = coarse_dims
+    pairs = div_class_pairs(coarse_dims)
+    halo_raw = max(abs(o) for _, o in pairs)
+    halo = -(-halo_raw // 128) * 128        # align so start offsets stay sane
+    s_cpad = gt_cwin.shape[-1]
+    assert s_cpad % BLK == 0
+    x_ext = _extract_classes(u, fine_dims, coarse_dims, s_cpad, halo)
+
+    def kernel(x_ref, w_ref, o_ref):
+        s0 = pl.program_id(0) * BLK
+        acc = jnp.zeros((1, BLK), x_ref.dtype)
+        for idx, (p, off) in enumerate(pairs):
+            start = halo + off
+            align = (start // 128) * 128
+            rem = start - align
+            xs = x_ref[3 * p : 3 * p + 3, pl.ds(s0 + align, BLK + 128)]
+            xs = jax.lax.slice_in_dim(xs, rem, rem + BLK, axis=1)
+            acc = acc + jnp.sum(
+                w_ref[:, idx, :] * xs, axis=0, keepdims=True
+            )
+        o_ref[:] = acc
+
+    n_blocks = s_cpad // BLK
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(x_ext.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, len(pairs), BLK), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BLK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, s_cpad), x_ext.dtype),
+        interpret=_interpret(),
+    )(x_ext, gt_cwin)
+    return out[0]

@@ -401,6 +401,15 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             zdinv = np.zeros(nnp_pad, dtype)
             zdinv[: self.nnp] = 1.0 / z_diag[: self.nnp]
             self.d["Z_dinv_cg"] = dev(zdinv)
+            # compact G^T table: divergence rows exist only at embedded
+            # coarse positions, so 7/8 of GT_win's streamed rows are
+            # structural zeros — the compact form is 8x less HBM traffic
+            # per div apply (ops/pallas_stencil.pallas_div_compact)
+            from cfd_with_cuda_tpu.ops.pallas_stencil import compact_gt_window
+
+            self.d["GT_cwin"] = dev(compact_gt_window(
+                self.d["GT_win"], (fx, fy, fz), (cx, cy, cz)
+            ))
         # channel-pair -> K DIA offset-index table: on a box grid, every
         # elemental entry (i, j) lands at the FIXED window offset
         # fo(j) - fo(i), so the fused path assembles A(un) into K's DIA
@@ -622,12 +631,21 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                             self.fine_dims, self.g_radius, trim=False,
                         )
                 if "div" not in abl:
-                    div = lambda u: fine_to_coarse(
-                        pallas_div_window(
-                            d["GT_win"], u, self.fine_dims, self.gt_radius,
-                        ),
-                        self.coarse_dims, self.fine_dims,
-                    )
+                    if "GT_cwin" in d:
+                        from cfd_with_cuda_tpu.ops.pallas_stencil import (
+                            pallas_div_compact,
+                        )
+
+                        div = lambda u: pallas_div_compact(
+                            d["GT_cwin"], u, self.fine_dims, self.coarse_dims,
+                        )[: self.nnp]
+                    else:
+                        div = lambda u: fine_to_coarse(
+                            pallas_div_window(
+                                d["GT_win"], u, self.fine_dims, self.gt_radius,
+                            ),
+                            self.coarse_dims, self.fine_dims,
+                        )
         if fused_conv:
             # elemental convection matrices A_e(un) ONCE per step (un is
             # fixed across sub-iterations, ref calculateMatrixA uses Un

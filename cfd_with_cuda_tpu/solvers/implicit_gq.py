@@ -430,6 +430,13 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             zdinv = np.zeros(nnp_pad, dtype)
             zdinv[: self.nnp] = 1.0 / np.asarray(self.d["Z_diag"])[: self.nnp]
             self.d["Z_dinv_cg"] = dev(zdinv)
+            # compact G^T table (see explicit_bch: 7/8 of GT_win's rows
+            # are structural zeros; 8x less stream per div apply)
+            from cfd_with_cuda_tpu.ops.pallas_stencil import compact_gt_window
+
+            self.d["GT_cwin"] = dev(compact_gt_window(
+                self.d["GT_win"], (fx, fy, fz), (cx, cy, cz)
+            ))
         self.pin_grid = int(perm_p[self.pin]) if self.pin > 0 else -1
         mon = find_monitor_node(
             deck.coords,
@@ -597,12 +604,21 @@ class ImplicitGQSolver(ChunkedTimeLoop):
                             (0, sp - S)),
                     self.fine_dims, self.g_radius, trim=False,
                 )
-                div = lambda u: fine_to_coarse(
-                    pallas_div_window(
-                        d["GT_win"], u, self.fine_dims, self.gt_radius
-                    ),
-                    self.coarse_dims, self.fine_dims,
-                )
+                if "GT_cwin" in d:
+                    from cfd_with_cuda_tpu.ops.pallas_stencil import (
+                        pallas_div_compact,
+                    )
+
+                    div = lambda u: pallas_div_compact(
+                        d["GT_cwin"], u, self.fine_dims, self.coarse_dims,
+                    )[: self.nnp]
+                else:
+                    div = lambda u: fine_to_coarse(
+                        pallas_div_window(
+                            d["GT_win"], u, self.fine_dims, self.gt_radius
+                        ),
+                        self.coarse_dims, self.fine_dims,
+                    )
         else:
             a_mul = lambda x: dia_spmv(a_vals, x, self.a_offsets)
             m_mul = lambda x: dia_spmv(d["M_vals"], x, self.a_offsets)

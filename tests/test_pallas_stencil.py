@@ -121,3 +121,40 @@ def test_grad_and_div_match_patches(cavity_ops):
 
     out_d = fine_to_coarse(fine_sum, gi_p.dims, gi.dims)
     np.testing.assert_allclose(np.asarray(out_d), np.asarray(ref_d), atol=1e-12)
+
+
+def test_pallas_div_compact_matches_window_form():
+    """Compact coarse-row G^T tables (8x less weight stream) must equal
+    fine_to_coarse(pallas_div_window(...)) bit-for-bit."""
+    import jax.numpy as jnp
+
+    from cfd_with_cuda_tpu.mesh.generators import cavity_deck
+    from cfd_with_cuda_tpu.ops.pallas_stencil import (
+        compact_gt_window,
+        pallas_div_compact,
+        pallas_div_window,
+    )
+    from cfd_with_cuda_tpu.ops.stencil import fine_to_coarse
+    from cfd_with_cuda_tpu.solvers.explicit_bch import ExplicitBCHSolver
+    from cfd_with_cuda_tpu.utils.config import DTypePolicy, SolverConfig
+
+    deck = cavity_deck(4, viscosity=0.01, dt=0.001)
+    s = ExplicitBCHSolver(
+        deck,
+        SolverConfig(
+            dtype_policy=DTypePolicy.F32, pressure_backend="pallas",
+            setup_cache="off",
+        ),
+    )
+    assert s.structured and "GT_cwin" in s.d
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.standard_normal((3, s.s_pad)), jnp.float32)
+    ref = fine_to_coarse(
+        pallas_div_window(s.d["GT_win"], u, s.fine_dims, s.gt_radius),
+        s.coarse_dims, s.fine_dims,
+    )
+    out = pallas_div_compact(s.d["GT_cwin"], u, s.fine_dims, s.coarse_dims)
+    nnp = s.nnp
+    np.testing.assert_array_equal(
+        np.asarray(out)[:nnp], np.asarray(ref)[:nnp]
+    )
