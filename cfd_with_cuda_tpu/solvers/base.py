@@ -80,12 +80,13 @@ class ChunkedTimeLoop:
         from pathlib import Path
 
         deck = self.deck
-        base = (
-            Path(deck.source_path).parent
-            if getattr(deck, "source_path", None)
-            else Path(".")
-        )
-        return base / f"{deck.title}_restart.dat"
+        src = getattr(deck, "source_path", None)
+        if src:
+            # reference convention: <whichProblem>_restart.dat, i.e. the
+            # DECK FILE's stem, not the deck's title line
+            # (``blascoCodinaHuerta.cpp:4223``)
+            return Path(src).parent / f"{Path(src).stem}_restart.dat"
+        return Path(".") / f"{deck.title}_restart.dat"
 
     def resolve_initial_state(self):
         """``initial_state()``, or the auto-loaded restart when the deck
