@@ -1,0 +1,321 @@
+"""Parity-split (red-black) field layout + its Pallas window kernels.
+
+The structured fast path's remaining bandwidth losses all trace to ONE
+cause: fields stored in interleaved z-major order make every stride-2
+operation (convection gather/scatter, coarse embed/extract) a dilated
+XLA pad running ~10x under HBM bandwidth, and force the G/G^T window
+tables to carry 8x structurally-zero weights (docs/PERF.md "round 3").
+This module stores fine-grid fields CLASS-MAJOR instead:
+
+    fine node s at (x, y, z)  ->  class p = (x&1, y&1, z&1),
+                                  subgrid q = ((z>>1)*cy + (y>>1))*cx + (x>>1)
+
+    field (C, S) -> (C, 8, Sp),  Sp = round_up(cx*cy*cz, BLK)
+
+with the 8 class subgrids zero-padded to the common coarse box
+(cx, cy, cz) = ((fx+1)/2, ...).  Consequences:
+
+* the coarse pressure grid IS class (0,0,0): ``coarse_to_fine`` /
+  ``fine_to_coarse`` become a slot write / a slice — free;
+* every stride-2 elemental gather/scatter becomes a CONTIGUOUS 3-D
+  slice / dynamic-update-slice add of a class subgrid;
+* a fine-grid window offset o decomposes into (input class p+o mod 2,
+  coarse shift dq = (p+o-p')//2 in [-1,1]^3), so window applies become
+  per-class radius-1 stencils — and the G/G^T tables compact 8x
+  (their entries are nonzero for ONE class pairing only);
+* the Pallas kernel pattern is unchanged from ``ops.pallas_stencil``
+  (static offsets, 128-aligned superset loads, weights streamed per
+  block) — only the class axis is new.
+
+Everything here is bit-equal to the interleaved path (tests in
+``tests/test_parity_stencil.py``); the solver opts in with
+``SolverConfig.structured_layout='parity'``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cfd_with_cuda_tpu.ops.pallas_stencil import BLK, _interpret
+
+__all__ = [
+    "parity_dims",
+    "parity_split",
+    "parity_merge",
+    "parity_split_table",
+    "parity_pairs",
+    "parity_window_tables",
+    "parity_window_apply",
+    "parity_gather_elem",
+    "parity_scatter_elem",
+]
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def parity_dims(fine_dims) -> tuple[tuple[int, int, int], int]:
+    """((cx, cy, cz), Sp) — the common class box and padded class size."""
+    fx, fy, fz = fine_dims
+    cx, cy, cz = (fx + 1) // 2, (fy + 1) // 2, (fz + 1) // 2
+    return (cx, cy, cz), _round_up(cx * cy * cz, BLK)
+
+
+def _class_view(fine_dims):
+    """Per class: (px, py, pz) in z-major class order."""
+    return [
+        (px, py, pz) for pz in (0, 1) for py in (0, 1) for px in (0, 1)
+    ]
+
+
+def parity_split(u, fine_dims, sp: int | None = None):
+    """(C, S>=fx*fy*fz) interleaved -> (C, 8, Sp) class-major (jax)."""
+    fx, fy, fz = fine_dims
+    (cx, cy, cz), sp_d = parity_dims(fine_dims)
+    sp = sp or sp_d
+    u3 = u[:, : fx * fy * fz].reshape(-1, fz, fy, fx)
+    out = []
+    for px, py, pz in _class_view(fine_dims):
+        g = u3[:, pz::2, py::2, px::2]
+        g = jnp.pad(
+            g,
+            (
+                (0, 0),
+                (0, cz - g.shape[1]),
+                (0, cy - g.shape[2]),
+                (0, cx - g.shape[3]),
+            ),
+        ).reshape(u.shape[0], -1)
+        out.append(jnp.pad(g, ((0, 0), (0, sp - g.shape[-1]))))
+    return jnp.stack(out, axis=1)
+
+
+def parity_merge(up, fine_dims):
+    """(C, 8, Sp) class-major -> (C, S) interleaved z-major (jax; test /
+    state-export helper — the solver never does this per step)."""
+    fx, fy, fz = fine_dims
+    (cx, cy, cz), _ = parity_dims(fine_dims)
+    c = up.shape[0]
+    out = jnp.zeros((c, fz, fy, fx), up.dtype)
+    for idx, (px, py, pz) in enumerate(_class_view(fine_dims)):
+        gx, gy, gz = cx - px, cy - py, cz - pz
+        g = up[:, idx, : cx * cy * cz].reshape(c, cz, cy, cx)[
+            :, :gz, :gy, :gx
+        ]
+        out = out.at[:, pz::2, py::2, px::2].set(g)
+    return out.reshape(c, -1)
+
+
+def parity_split_table(t: np.ndarray, fine_dims, sp: int | None = None):
+    """numpy host version of :func:`parity_split` for setup-time tables
+    (masks, md_inv, bc values); ``t (..., S)`` -> ``(..., 8, Sp)``."""
+    fx, fy, fz = fine_dims
+    (cx, cy, cz), sp_d = parity_dims(fine_dims)
+    sp = sp or sp_d
+    lead = t.shape[:-1]
+    t3 = t[..., : fx * fy * fz].reshape(*lead, fz, fy, fx)
+    out = np.zeros((*lead, 8, sp), t.dtype)
+    for idx, (px, py, pz) in enumerate(_class_view(fine_dims)):
+        g = t3[..., pz::2, py::2, px::2]
+        gz, gy, gx = g.shape[-3:]
+        buf = np.zeros((*lead, cz, cy, cx), t.dtype)
+        buf[..., :gz, :gy, :gx] = g
+        out[..., idx, : cx * cy * cz] = buf.reshape(*lead, -1)
+    return out
+
+
+def parity_pairs(offsets_xyz, coarse_dims):
+    """Static routing for a window apply in parity layout.
+
+    ``offsets_xyz``: window offset triples (dx, dy, dz).  Returns, per
+    output class p, a tuple of (slot w, input class p', flat coarse
+    shift dq) — the decomposition  s + o = 2(q + dq) + p'  with
+    p' = (p + o) mod 2, dq = (p + o - p') // 2 in [-1, 0, 1]^3.
+    """
+    cx, cy, _ = coarse_dims
+    pairs = []
+    for px, py, pz in [(a, b, c) for c in (0, 1) for b in (0, 1) for a in (0, 1)]:
+        lst = []
+        for w, (ox, oy, oz) in enumerate(offsets_xyz):
+            pp = ((px + ox) % 2, (py + oy) % 2, (pz + oz) % 2)
+            dq = (
+                (px + ox - pp[0]) // 2,
+                (py + oy - pp[1]) // 2,
+                (pz + oz - pp[2]) // 2,
+            )
+            p_idx = (pp[2] * 2 + pp[1]) * 2 + pp[0]
+            lst.append((w, p_idx, (dq[2] * cy + dq[1]) * cx + dq[0]))
+        pairs.append(tuple(lst))
+    return tuple(pairs)
+
+
+def parity_window_tables(
+    win: np.ndarray, offsets_xyz, fine_dims, sp: int | None = None
+) -> np.ndarray:
+    """(n_off, S-fine) window values -> (8, n_off, Sp) class-split (host).
+
+    Row axis splits by class exactly like a field; zero weights stay
+    zero, so tables with structural class sparsity (G: rows of class p
+    only couple offset parities equal to p) can afterwards be compacted
+    by dropping all-zero (class, slot) planes — see
+    :func:`compact_class_tables`.
+    """
+    out = parity_split_table(win, fine_dims, sp)       # (n_off, 8, Sp)
+    return np.ascontiguousarray(np.moveaxis(out, -2, 0))
+
+
+def compact_class_tables(wp: np.ndarray, pairs):
+    """Drop all-zero (class, slot) planes from ``wp (8, n_off, Sp)``.
+
+    Returns (wp_c (8, m, Sp), pairs_c) with a common per-class slot
+    count m (zero-padded where a class has fewer live slots) — G/G^T
+    tables shrink ~8x/5x; K (no structural sparsity) stays put.
+    """
+    live = [
+        [t for t in pairs[p] if np.any(wp[p, t[0]])] for p in range(8)
+    ]
+    m = max(1, max(len(v) for v in live))
+    out = np.zeros((8, m, wp.shape[-1]), wp.dtype)
+    pairs_c = []
+    for p in range(8):
+        row = []
+        for j, (w, pp, dq) in enumerate(live[p]):
+            out[p, j] = wp[p, w]
+            row.append((j, pp, dq))
+        pairs_c.append(tuple(row))
+    return out, tuple(pairs_c)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pairs", "co", "accumulate_in")
+)
+def parity_window_apply(wp, x, *, pairs, co=None, accumulate_in=None):
+    """y[:, p, q] = sum_(w,p',dq) wp[p, w, q] * x[:, p', q + dq]
+    for the static routing ``pairs`` (from :func:`parity_pairs` /
+    :func:`compact_class_tables`).
+
+    ``wp (8, m, Sp)``, ``x (C, 8, Sp)`` -> ``(C, 8, Sp)``.  The whole
+    class-split field stays VMEM-resident; weights stream per block.
+    ``co`` (default C) sets output channels; ``accumulate_in`` sums the
+    input-channel axis (divergence: x (3, 8, Sp), wp (3*m slots...)) —
+    not used in v1, reserved.
+    """
+    c, _, sp = x.shape
+    co = co or c
+    halo_raw = max(
+        (abs(dq) for cls in pairs for (_, _, dq) in cls), default=0
+    )
+    halo = _round_up(halo_raw, 128)
+    # halo-extend every class on both sides (+128 superset tail)
+    x_ext = jnp.pad(x, ((0, 0), (0, 0), (halo, halo + 128)))
+    m = wp.shape[1]
+    n_blocks = sp // BLK
+
+    def kernel(x_ref, w_ref, o_ref):
+        s0 = pl.program_id(0) * BLK
+        for p in range(8):
+            acc = jnp.zeros((co, BLK), x_ref.dtype)
+            for (w, pp, dq) in pairs[p]:
+                start = halo + dq
+                align = (start // 128) * 128
+                rem = start - align
+                xs = x_ref[:, pp, pl.ds(s0 + align, BLK + 128)]
+                xs = lax.slice_in_dim(xs, rem, rem + BLK, axis=1)
+                acc = acc + w_ref[p, w, :][None, :] * xs
+            o_ref[:, p, :] = acc
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(x_ext.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, m, BLK), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((co, 8, BLK), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((co, 8, sp), x.dtype),
+        interpret=_interpret(),
+    )(x_ext, wp)
+
+
+# --------------------------------------------------------- elemental ops
+
+def parity_gather_elem(u, elem_dims, coarse_dims, sp: int):
+    """(C, 27, NE) window-channel-ordered elemental gather from a
+    class-major field (C, 8, Sp): element (I,J,K)'s channel (ox,oy,oz)
+    is class (o&1) at subgrid (I,J,K) + (o>>1) — 27 CONTIGUOUS slices
+    (replaces the stride-2 ``conv_general_dilated_patches``)."""
+    ex, ey, ez = elem_dims
+    cx, cy, cz = coarse_dims
+    c = u.shape[0]
+    u4 = u[:, :, : cx * cy * cz].reshape(c, 8, cz, cy, cx)
+    chans = []
+    for oz in range(3):
+        for oy in range(3):
+            for ox in range(3):
+                p_idx = ((oz & 1) * 2 + (oy & 1)) * 2 + (ox & 1)
+                dx, dy, dz = ox >> 1, oy >> 1, oz >> 1
+                g = lax.slice(
+                    u4[:, p_idx],
+                    (0, dz, dy, dx),
+                    (c, dz + ez, dy + ey, dx + ex),
+                )
+                chans.append(g.reshape(c, -1))
+    return jnp.stack(chans, axis=1)
+
+
+def parity_scatter_elem(r_e, elem_dims, coarse_dims, sp: int):
+    """(C, 8, Sp) <- elemental scatter-add of (C, 27, NE) in window-
+    channel order: per channel ONE contiguous dynamic-update-slice add
+    into the right class subgrid (replaces the dilated pads)."""
+    ex, ey, ez = elem_dims
+    cx, cy, cz = coarse_dims
+    c = r_e.shape[0]
+    out = jnp.zeros((c, 8, cz, cy, cx), r_e.dtype)
+    i = 0
+    for oz in range(3):
+        for oy in range(3):
+            for ox in range(3):
+                p_idx = ((oz & 1) * 2 + (oy & 1)) * 2 + (ox & 1)
+                dx, dy, dz = ox >> 1, oy >> 1, oz >> 1
+                v = r_e[:, i].reshape(c, ez, ey, ex)
+                out = out.at[
+                    :, p_idx, dz:dz + ez, dy:dy + ey, dx:dx + ex
+                ].add(v)
+                i += 1
+    out = out.reshape(c, 8, -1)
+    return jnp.pad(out, ((0, 0), (0, 0), (0, sp - out.shape[-1])))
+
+
+def decode_offsets(flat_offsets, fine_dims, radius: int = 2):
+    """Flat fine-grid window offsets -> (dx, dy, dz) triples (|d| <=
+    radius per dim; unique for the grids in use since fx > 4*radius)."""
+    fx, fy, _ = fine_dims
+    fxy = fx * fy
+    out = []
+    for off in flat_offsets:
+        off = int(off)
+        dz = min(
+            range(-radius, radius + 1),
+            key=lambda d: abs(off - d * fxy),
+        )
+        rem = off - dz * fxy
+        dy = min(
+            range(-radius, radius + 1),
+            key=lambda d: abs(rem - d * fx),
+        )
+        dx = rem - dy * fx
+        assert abs(dx) <= radius, (off, dx, dy, dz)
+        out.append((dx, dy, dz))
+    return tuple(out)
