@@ -50,6 +50,7 @@ __all__ = [
     "pallas_grad_window",
     "pallas_div_window",
     "pallas_div_compact",
+    "div_compact_call",
     "compact_gt_window",
     "div_class_pairs",
     "window_offsets",
@@ -272,13 +273,21 @@ def pallas_div_compact(gt_cwin, u, fine_dims, coarse_dims):
     sum_d sum_w GT[d, w, q] * u_d[2q + off(w)].  Drop-in for
     ``fine_to_coarse(pallas_div_window(...))`` (result padded to the BLK
     multiple, zeros beyond S_c; slice [:NNp] as needed)."""
-    cx, cy, cz = coarse_dims
     pairs = div_class_pairs(coarse_dims)
     halo_raw = max(abs(o) for _, o in pairs)
     halo = -(-halo_raw // 128) * 128        # align so start offsets stay sane
     s_cpad = gt_cwin.shape[-1]
     assert s_cpad % BLK == 0
     x_ext = _extract_classes(u, fine_dims, coarse_dims, s_cpad, halo)
+    return div_compact_call(gt_cwin, x_ext, pairs, halo)
+
+
+def div_compact_call(gt_cwin, x_ext, pairs, halo: int):
+    """Core of :func:`pallas_div_compact`: the input is already the 8
+    class extractions (rows ``3p + d``), halo-extended — the parity-split
+    layout (``ops.parity_stencil``) produces this with a reshape instead
+    of 8 stride-2 extractions."""
+    s_cpad = gt_cwin.shape[-1]
 
     def kernel(x_ref, w_ref, o_ref):
         s0 = pl.program_id(0) * BLK

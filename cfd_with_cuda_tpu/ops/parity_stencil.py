@@ -56,6 +56,9 @@ __all__ = [
     "parity_window_apply",
     "parity_gather_elem",
     "parity_scatter_elem",
+    "build_parity_apply_tables",
+    "parity_apply",
+    "parity_div_apply",
 ]
 
 
@@ -247,6 +250,137 @@ def parity_window_apply(wp, x, *, pairs, co=None, accumulate_in=None):
         out_shape=jax.ShapeDtypeStruct((co, 8, sp), x.dtype),
         interpret=_interpret(),
     )(x_ext, wp)
+
+
+# ------------------------------------------- production concat-slot form
+#
+# ``parity_window_apply`` pads every class to a COMMON slot count m, so
+# tables with uneven class liveness waste stream bandwidth (G: classes
+# have 8..27 live slots; K on Q2 hexes: 27..125 — cell-center rows touch
+# one element, corner rows up to eight).  The concat form instead lays
+# all live (class, slot) planes on ONE flat axis (total = the true
+# nonzero count: 125 for G per direction, ~512 for K vs 8x125 padded)
+# and routes each class to its static range — the weight stream is the
+# structural-nonzero lower bound.  At NE27000 this makes grad 340 -> 46
+# MB and K 113 -> ~63 MB per apply.
+
+
+def build_parity_apply_tables(win, offsets_xyz, fine_dims, dtype=None):
+    """Host, setup-time: window table -> concat-slot parity form.
+
+    ``win``: ``(n_off, S)`` (shared weights, e.g. K) or ``(cw, n_off, S)``
+    (per-output-channel weights, e.g. G with cw=3).  Returns
+    ``(wc (cw, m_total, Sp), pairs)`` where ``pairs[p]`` is a tuple of
+    ``(j, p_in, dq)``: output class p accumulates
+    ``wc[:, j] * x[:, p_in, q + dq]``.  All-zero (class, offset) planes
+    are dropped — for operators with structural class sparsity this IS
+    the compaction (zero weights contribute nothing, so dropping is
+    always exact).
+    """
+    w = np.asarray(win)
+    if dtype is not None:
+        w = w.astype(dtype)
+    if w.ndim == 2:
+        w = w[None]
+    cdims, sp = parity_dims(fine_dims)
+    pairs_full = parity_pairs(offsets_xyz, cdims)
+    vals = [[] for _ in range(8)]
+    route = [[] for _ in range(8)]
+    for wslot in range(w.shape[1]):
+        tp = parity_split_table(w[:, wslot], fine_dims, sp)  # (cw, 8, Sp)
+        for p in range(8):
+            _, pp, dq = pairs_full[p][wslot]
+            if np.any(tp[:, p]):
+                vals[p].append(tp[:, p])
+                route[p].append((pp, dq))
+    cols, pairs_c, j = [], [], 0
+    for p in range(8):
+        row = []
+        for v, (pp, dq) in zip(vals[p], route[p]):
+            cols.append(v)
+            row.append((j, pp, dq))
+            j += 1
+        pairs_c.append(tuple(row))
+    if cols:
+        wc = np.ascontiguousarray(np.stack(cols, axis=1))
+    else:
+        wc = np.zeros((w.shape[0], 1, sp), w.dtype)
+    return wc, tuple(pairs_c)
+
+
+@functools.partial(jax.jit, static_argnames=("pairs", "co", "blk"))
+def parity_apply(wc, x, *, pairs, co=None, blk=1024):
+    """y[c, p, q] = sum_{(j, p', dq) in pairs[p]} wc[:, j, q] * x[c, p', q+dq]
+
+    ``wc (cw, m, Sp)`` concat-slot weights (from
+    :func:`build_parity_apply_tables`), ``x (C, P, Sp)`` class-split
+    field (P=8, or P=1 when every pair reads class 0 — the grad case,
+    where the input IS the coarse pressure).  Output ``(co, 8, Sp)``
+    with ``co = max(C, cw)`` by default (cw=1: shared weights over C
+    channels, K; C=1: per-channel weights, G).
+
+    The class-split field stays VMEM-resident; weights stream per
+    ``blk`` block — the only big HBM traffic.
+    """
+    c, _, sp = x.shape
+    cw, m, _ = wc.shape
+    co = co or max(c, cw)
+    halo_raw = max(
+        (abs(dq) for cls in pairs for (_, _, dq) in cls), default=0
+    )
+    halo = _round_up(halo_raw, 128)
+    x_ext = jnp.pad(x, ((0, 0), (0, 0), (halo, halo + 128)))
+    n_blocks = sp // blk
+
+    def kernel(x_ref, w_ref, o_ref):
+        s0 = pl.program_id(0) * blk
+        for p in range(8):
+            acc = jnp.zeros((co, blk), x_ref.dtype)
+            for (j, pp, dq) in pairs[p]:
+                start = halo + dq
+                align = (start // 128) * 128
+                rem = start - align
+                xs = x_ref[:, pp, pl.ds(s0 + align, blk + 128)]
+                xs = lax.slice_in_dim(xs, rem, rem + blk, axis=1)
+                acc = acc + w_ref[:, j, :] * xs
+            o_ref[:, p, :] = acc
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(x_ext.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cw, m, blk), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((co, 8, blk), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((co, 8, sp), x.dtype),
+        interpret=_interpret(),
+    )(x_ext, wc)
+
+
+@functools.partial(jax.jit, static_argnames=("coarse_dims",))
+def parity_div_apply(gt_cwin, up, coarse_dims):
+    """(S_c_pad,) divergence from a class-split velocity ``up (3, 8, Sp)``
+    through the compact coarse-row G^T tables (``gt_cwin (3, W^3, Sp)``,
+    the same array ``pallas_stencil.compact_gt_window`` builds).  The 8
+    stride-2 class extractions of ``pallas_div_compact`` collapse to one
+    transpose — the field is already class-split."""
+    from cfd_with_cuda_tpu.ops.pallas_stencil import (
+        div_class_pairs,
+        div_compact_call,
+    )
+
+    pairs = div_class_pairs(coarse_dims)
+    halo_raw = max(abs(o) for _, o in pairs)
+    halo = _round_up(halo_raw, 128)
+    sp = gt_cwin.shape[-1]
+    assert up.shape[-1] == sp, (up.shape, gt_cwin.shape)
+    x = jnp.transpose(up, (1, 0, 2)).reshape(24, sp)   # rows 3p + d
+    x_ext = jnp.pad(x, ((0, 0), (halo, halo + 128)))
+    return div_compact_call(gt_cwin, x_ext, pairs, halo)
 
 
 # --------------------------------------------------------- elemental ops

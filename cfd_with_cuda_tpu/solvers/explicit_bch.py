@@ -95,6 +95,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         "s_pad", "pin_grid", "monitor_node", "monitor_node_deck",
         "monitor_node_p", "bc_of_node", "use_mg", "mg_dims", "mg_radii",
         "mg_omegas", "_pallas_layout", "conv_oij",
+        "layout", "sp_c", "k_pairs", "g_pairs", "mon_cls", "mon_q",
     )
 
     # ------------------------------------------------------------------ setup
@@ -121,6 +122,14 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                 sc.solver_restore(self, snap)
                 self._compiled = {}
                 return
+
+        # parity-split layout attrs (filled by _try_structured when active)
+        self.layout = "interleaved"
+        self.sp_c = None
+        self.k_pairs = None
+        self.g_pairs = None
+        self.mon_cls = None
+        self.mon_q = None
 
         mesh = promote_hex_mesh(deck.conn, deck.coords)
         self.mesh = mesh
@@ -178,6 +187,12 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             raise ValueError(
                 "pressure_precond='mg' needs the structured fast path "
                 "(geometric hierarchy); this mesh fell back to ELL"
+            )
+        if self.config.structured_layout == "parity" and self.layout != "parity":
+            raise ValueError(
+                "structured_layout='parity' needs the fused Pallas path "
+                "(single chip, f32/pallas backend) on an element-"
+                "structured box grid"
             )
 
         dev = lambda x: np.asarray(x, dtype=dtype)
@@ -461,12 +476,75 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             self.d["mg_zinv"] = mg["zinv"]
             self.use_mg = True
 
+        # ---- parity-split (class-major) field layout: the fused path's
+        # remaining stride-2 ops (convection gather/scatter, coarse
+        # embed/extract) become contiguous slices, and the G/K tables
+        # compact to their structural-nonzero count (ops/parity_stencil).
+        use_parity = (
+            self._pallas_layout
+            and self.elem_structured
+            and int(self.config.spmd_devices or 0) <= 1
+            and self.config.structured_layout in ("auto", "parity")
+        )
+        if use_parity:
+            from cfd_with_cuda_tpu.ops import parity_stencil as pstl
+
+            self.layout = "parity"
+            (pcx, pcy, pcz), sp_c = pstl.parity_dims((fx, fy, fz))
+            assert (pcx, pcy, pcz) == (cx, cy, cz)
+            self.sp_c = sp_c
+            offs_k = pstl.decode_offsets(self.k_offsets, (fx, fy, fz))
+            kc, self.k_pairs = pstl.build_parity_apply_tables(
+                self.d["K_vals"], offs_k, (fx, fy, fz)
+            )
+            r = self.g_radius
+            offs_g = tuple(
+                (dx, dy, dz)
+                for dz in range(-r, r + 1)
+                for dy in range(-r, r + 1)
+                for dx in range(-r, r + 1)
+            )
+            gc, self.g_pairs = pstl.build_parity_apply_tables(
+                self.d["G_win"], offs_g, (fx, fy, fz)
+            )
+            # grad reads ONLY the coarse pressure (class 0): the step
+            # passes it as a (1, 1, Sp) plane
+            assert all(
+                pp == 0 for cls in self.g_pairs for (_, pp, _) in cls
+            )
+            self.d["Kp"] = dev(kc)
+            self.d["Gp"] = dev(gc)
+            for key in ("md_inv", "md_orig_inv", "bc_mask"):
+                self.d[key + "_p"] = pstl.parity_split_table(
+                    self.d[key], (fx, fy, fz), sp_c
+                )
+            self.d["bc_vel_p"] = pstl.parity_split_table(
+                self.d["bc_vel"], (fx, fy, fz), sp_c
+            )
+            # monitor node: fine flat id -> (class, coarse flat)
+            mxyz = (
+                self.monitor_node % fx,
+                (self.monitor_node // fx) % fy,
+                self.monitor_node // (fx * fy),
+            )
+            self.mon_cls = (
+                (mxyz[2] & 1) * 2 + (mxyz[1] & 1)
+            ) * 2 + (mxyz[0] & 1)
+            self.mon_q = (
+                (mxyz[2] >> 1) * cy + (mxyz[1] >> 1)
+            ) * cx + (mxyz[0] >> 1)
+            # the step never touches the interleaved big tables: drop
+            # them from HBM + the snapshot (~800 MB at NE27000)
+            for key in ("K_vals", "G_win", "GT_win", "Z_win"):
+                self.d.pop(key, None)
+
     # ----------------------------------------------------------- initial state
     def initial_state(self) -> ExplicitState:
         """Zero field with BC velocities imposed (``applyBC_initial``)."""
         dtype = self.config.jnp_dtype()
         # copy=True: run() donates the state, so it must not alias bc_vel
-        un = jnp.array(self.d["bc_vel"], dtype=dtype, copy=True)
+        key = "bc_vel_p" if self.layout == "parity" else "bc_vel"
+        un = jnp.array(self.d[key], dtype=dtype, copy=True)
         pn = jnp.zeros(self.nnp, dtype=dtype)
         return ExplicitState(
             un=un, pn=pn, unp1_prev=jnp.zeros_like(un),
@@ -485,12 +563,16 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             pg = np.empty_like(p)
             pg[self.perm_p] = p
             u, p = ug, pg
+            if self.layout == "parity":
+                from cfd_with_cuda_tpu.ops import parity_stencil as pstl
+
+                u = pstl.parity_split_table(u, self.fine_dims, self.sp_c)
         elif self.s_pad > self.nn:       # ELL shard padding
             u = np.pad(u, ((0, 0), (0, self.s_pad - self.nn)))
         return ExplicitState(
             un=jnp.asarray(u, dtype=dtype),
             pn=jnp.asarray(p, dtype=dtype),
-            unp1_prev=jnp.zeros((3, self.s_pad), dtype=dtype),
+            unp1_prev=jnp.zeros(u.shape, dtype=dtype),
             pdot=jnp.zeros(p.shape, dtype=dtype),
         )
 
@@ -566,9 +648,36 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         # body — so the fused path goes Pallas for EVERY windowed
         # operator (Z-CG, G, G^T, K, K+A) and assembles the convection
         # operator A(un) into K's DIA slots once per time step.
-        use_fused = self.structured and cfg.fused_pressure_eligible()
+        parity = self.structured and self.layout == "parity"
+        use_fused = self.structured and (
+            parity or cfg.fused_pressure_eligible()
+        )
         fused_conv = use_fused and self.elem_structured and "conv" not in abl
-        if use_fused:
+        if parity:
+            # class-major layout (ops/parity_stencil): fields are
+            # (3, 8, Sp); grad reads the coarse pressure directly (it IS
+            # class 0), div emits the coarse grid directly, and the K/G
+            # tables are compacted to their structural nonzeros
+            from cfd_with_cuda_tpu.ops import parity_stencil as pstl
+            from cfd_with_cuda_tpu.ops.pallas_cg import fused_cg
+
+            sp_c = self.sp_c
+            Sr3 = self.nn                   # unused; kept for symmetry
+            if "kmul" not in abl:
+                k_mul = lambda u: pstl.parity_apply(
+                    d["Kp"], u, pairs=self.k_pairs, co=3
+                )
+            if "grad" not in abl:
+                def grad(p):
+                    xp = jnp.pad(p, (0, sp_c - p.shape[0]))[None, None]
+                    return pstl.parity_apply(
+                        d["Gp"], xp, pairs=self.g_pairs, co=3
+                    )
+            if "div" not in abl:
+                div = lambda u: pstl.parity_div_apply(
+                    d["GT_cwin"], u, self.coarse_dims
+                )[: self.nnp]
+        elif use_fused:
             from cfd_with_cuda_tpu.ops.pallas_cg import fused_cg
             from cfd_with_cuda_tpu.ops.pallas_stencil import (
                 pallas_div_window,
@@ -650,11 +759,30 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             # elemental convection matrices A_e(un) ONCE per step (un is
             # fixed across sub-iterations, ref calculateMatrixA uses Un
             # :3520-3685)
-            u0_e = gather_elem_stencil(un[:, :Sr3], self.elem_dims, self.fine_dims)
+            if parity:
+                gather = lambda u: pstl.parity_gather_elem(
+                    u, self.elem_dims, self.coarse_dims, sp_c
+                )
+            else:
+                gather = lambda u: gather_elem_stencil(
+                    u[:, :Sr3], self.elem_dims, self.fine_dims
+                )
+            u0_e = gather(un)
             u0_gq = jnp.einsum("ki,die->dke", d["Sv"], u0_e)
             udotg = jnp.einsum("dke,djke->jke", u0_gq, d["gDSv"])
             ae = jnp.einsum("ki,ke,jke->ije", d["Sv"], d["gq"], udotg)
-            if cfg.conv_mode == "assemble":
+            if parity:
+                # matrix-free only: the concat-slot K table has no
+                # per-step assembly path (and matrix-free is the
+                # measured winner at the usual 2-3 sub-iterations)
+                def conv_apply(u_star):
+                    r1e = jnp.einsum("ije,dje->die", ae, gather(u_star))
+                    return pstl.parity_scatter_elem(
+                        r1e, self.elem_dims, self.coarse_dims, sp_c
+                    )
+
+                ka_mul = lambda u: k_mul(u) + conv_apply(u)
+            elif cfg.conv_mode == "assemble":
                 # scatter A_e into K's DIA rows -> (K+A) is ONE Pallas
                 # stencil apply per sub-iteration
                 from cfd_with_cuda_tpu.ops.stencil import assemble_window_values
@@ -742,7 +870,14 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                 precond=precond, dot_dtype=cfg.krylov_dot_dtype(),
             )
 
-        mask = d["bc_mask"][None, :]
+        if parity:
+            mask = d["bc_mask_p"][None]
+            md_inv_b = d["md_inv_p"][None]
+            md_orig_inv_b = d["md_orig_inv_p"][None]
+        else:
+            mask = d["bc_mask"][None, :]
+            md_inv_b = d["md_inv"][None, :]
+            md_orig_inv_b = d["md_orig_inv"][None, :]
 
         def iteration(carry):
             (it, _conv, unp_half_prev, unp1_prev, _acc_prev, pnp1_prev,
@@ -769,10 +904,10 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                 r1 -= jnp.pad(conv, ((0, 0), (0, self.s_pad - nn)))
             r1 -= grad(pn)
             r1 = r1 * mask
-            unp_half = un + dt * r1 * d["md_inv"][None, :]
+            unp_half = un + dt * r1 * md_inv_b
 
             # ---- step2: R2 = G^T (u*/dt^2 - MdOrigInv K acc_prev)  (:3813-3868)
-            dummy = unp_half / (dt * dt) - d["md_orig_inv"][None, :] * k_acc_prev
+            dummy = unp_half / (dt * dt) - md_orig_inv_b * k_acc_prev
             r2 = div(dummy)
             if pin > 0:
                 r2 = r2.at[pin].set(0.0)
@@ -783,7 +918,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             # ---- step3: R3 = -dt (G pdot + K acc_prev)  (:3917-3967)
             r3 = -dt * (grad(pdot) + k_acc_prev)
             r3 = r3 * mask
-            acc = r3 * d["md_inv"][None, :]
+            acc = r3 * md_inv_b
             unp1 = unp_half + dt * acc
 
             # ---- convergence (ref :2936-2961)
@@ -825,9 +960,12 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
          pdot_out) = out
 
         max_acc = jnp.max(jnp.abs(unp1 - un)) / dt
-        mon = self.monitor_node
+        if parity:
+            probe = lambda a, c_: a[c_, self.mon_cls, self.mon_q]
+        else:
+            probe = lambda a, c_: a[c_, self.monitor_node]
         stats = StepStats(
-            u_mon=unp1[0, mon], v_mon=unp1[1, mon], w_mon=unp1[2, mon],
+            u_mon=probe(unp1, 0), v_mon=probe(unp1, 1), w_mon=probe(unp1, 2),
             p_mon=pnp1[self.monitor_node_p], max_acc=max_acc, iters=it - 1,
             cg_iters=cgit, mom_iters=jnp.asarray(0),
         )
@@ -837,10 +975,13 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         return new_state, stats
 
     def _monitor_only(self, state: ExplicitState) -> StepStats:
-        mon = self.monitor_node
+        if self.layout == "parity":
+            probe = lambda c_: state.un[c_, self.mon_cls, self.mon_q]
+        else:
+            probe = lambda c_: state.un[c_, self.monitor_node]
         zero = jnp.zeros((), self.config.jnp_dtype())
         return StepStats(
-            state.un[0, mon], state.un[1, mon], state.un[2, mon],
+            probe(0), probe(1), probe(2),
             state.pn[self.monitor_node_p], zero, jnp.asarray(0),
             jnp.asarray(0), jnp.asarray(0),
         )
@@ -848,7 +989,12 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
     # ------------------------------------------------------------------- io
     def fields(self, state: ExplicitState) -> tuple[np.ndarray, np.ndarray]:
         """(u (NN,3), p (NNp,)) as numpy (host convention, deck node order)."""
-        u = np.asarray(state.un)[:, : self.nn]
+        if self.layout == "parity":
+            from cfd_with_cuda_tpu.ops import parity_stencil as pstl
+
+            u = np.asarray(pstl.parity_merge(state.un, self.fine_dims))
+        else:
+            u = np.asarray(state.un)[:, : self.nn]
         pfield = np.asarray(state.pn)
         if self.structured:
             u = u[:, self.perm]

@@ -101,6 +101,17 @@ class SolverConfig:
     # replaces gather-bound ELL SpMV with shift+FMA stencils; "never"
     # forces ELL; "force" errors if the mesh is not a box grid.
     structured: str = "auto"
+    # Field layout on the structured fused-Pallas path: "auto" stores
+    # fields CLASS-MAJOR (parity-split red-black, ops/parity_stencil.py)
+    # whenever the fused path is active on a single chip with
+    # element-structured convection — every stride-2 gather/scatter/
+    # embed becomes a contiguous slice and the G/K window tables compact
+    # to their structural-nonzero count (grad 340 -> 46 MB, K 113 -> ~63
+    # MB per apply at NE27000).  "interleaved" keeps the flat z-major
+    # fine-grid layout; "parity" forces class-major (raises when the
+    # prerequisites are missing).  Results are equal to the interleaved
+    # path up to f32 accumulation order.
+    structured_layout: str = "auto"
     # Multi-chip SPMD over the Pallas fast path: >1 shards the windowed
     # stencil applies over an n-device mesh via shard_map (flat halo
     # ppermutes; parallel/sharded_stencil.py) and runs the coarse-grid

@@ -34,7 +34,7 @@ __all__ = [
 ]
 
 # bump when solver snapshot layouts change — stale entries just miss
-SCHEMA = 9
+SCHEMA = 10
 
 
 def default_cache_dir() -> str | None:
@@ -74,6 +74,7 @@ _CFG_INCLUDE = (
     "structured",        # DIA-vs-ELL operator layout
     "shard_pad",         # device-array padding
     "spmd_devices",      # sharded fast path changes the pad multiple
+    "structured_layout",  # parity-split vs interleaved device tables
 )
 # deck fields that are provenance, not content
 _DECK_EXCLUDE = frozenset({"source_path"})

@@ -143,7 +143,7 @@ def test_pallas_div_compact_matches_window_form():
         deck,
         SolverConfig(
             dtype_policy=DTypePolicy.F32, pressure_backend="pallas",
-            setup_cache="off",
+            setup_cache="off", structured_layout="interleaved",
         ),
     )
     assert s.structured and "GT_cwin" in s.d

@@ -20,7 +20,7 @@ def solver():
         deck,
         SolverConfig(
             dtype_policy=DTypePolicy.F32, pressure_backend="pallas",
-            setup_cache="off",
+            setup_cache="off", structured_layout="interleaved",
         ),
     )
     assert s.structured
@@ -113,6 +113,135 @@ def test_parity_grad_compacts_8x_and_matches(solver):
     # every live pair of the compacted grad reads class 0 only
     for cls in pairs_c:
         assert all(pp == 0 for (_, pp, _) in cls)
+
+
+def test_parity_apply_concat_k_matches(solver):
+    """Concat-slot K table (production form): exact vs interleaved."""
+    from cfd_with_cuda_tpu.ops.pallas_stencil import pallas_window_spmv
+
+    s = solver
+    u = rand_u(s, 5)
+    ref = pallas_window_spmv(
+        s.d["K_vals"], u, s.fine_dims, offsets=s.k_offsets, trim=False
+    )
+    offs_xyz = ps.decode_offsets(s.k_offsets, s.fine_dims)
+    wc, pairs = ps.build_parity_apply_tables(
+        np.asarray(s.d["K_vals"]), offs_xyz, s.fine_dims
+    )
+    # Q2 K compacts ~2x: cell-center rows touch 1 element, corners 8
+    assert wc.shape[1] < 8 * len(s.k_offsets)
+    _, sp = ps.parity_dims(s.fine_dims)
+    up = ps.parity_split(u, s.fine_dims, sp)
+    yp = ps.parity_apply(jnp.asarray(wc), up, pairs=pairs, co=3, blk=512)
+    back = ps.parity_merge(yp, s.fine_dims)
+    S = int(np.prod(s.fine_dims))
+    np.testing.assert_allclose(
+        np.asarray(back), np.asarray(ref)[:, :S], atol=2e-6
+    )
+
+
+def test_parity_apply_concat_grad_matches(solver):
+    """Concat-slot G table: all 3 directions in ONE kernel call, input
+    is the raw coarse pressure (embed-free)."""
+    from cfd_with_cuda_tpu.ops.pallas_stencil import pallas_grad_window
+    from cfd_with_cuda_tpu.ops.stencil import coarse_to_fine
+
+    s = solver
+    rng = np.random.default_rng(6)
+    p = jnp.asarray(rng.standard_normal(s.nnp), jnp.float32)
+    pf = coarse_to_fine(p, s.coarse_dims, s.fine_dims)
+    ref = pallas_grad_window(
+        s.d["G_win"], jnp.pad(pf, (0, s.s_pad - pf.shape[0])),
+        s.fine_dims, s.g_radius, trim=False,
+    )
+    r = s.g_radius
+    offs_xyz = tuple(
+        (dx, dy, dz)
+        for dz in range(-r, r + 1)
+        for dy in range(-r, r + 1)
+        for dx in range(-r, r + 1)
+    )
+    wc, pairs = ps.build_parity_apply_tables(
+        np.asarray(s.d["G_win"]), offs_xyz, s.fine_dims
+    )
+    # structural 8x: every (class, offset) plane with mismatched parity
+    # is zero, so the concat axis is exactly the one-class slot count
+    assert wc.shape[1] == len(offs_xyz)
+    assert all(pp == 0 for cls in pairs for (_, pp, _) in cls)
+    _, sp = ps.parity_dims(s.fine_dims)
+    xp = jnp.pad(p, (0, sp - s.nnp))[None, None]
+    yp = ps.parity_apply(jnp.asarray(wc), xp, pairs=pairs, co=3, blk=512)
+    back = ps.parity_merge(yp, s.fine_dims)
+    S = int(np.prod(s.fine_dims))
+    np.testing.assert_allclose(
+        np.asarray(back), np.asarray(ref)[:, :S], atol=1e-7
+    )
+
+
+def test_parity_div_matches_compact(solver):
+    from cfd_with_cuda_tpu.ops.pallas_stencil import pallas_div_compact
+
+    s = solver
+    u = rand_u(s, 7)
+    ref = pallas_div_compact(s.d["GT_cwin"], u, s.fine_dims, s.coarse_dims)
+    _, sp = ps.parity_dims(s.fine_dims)
+    up = ps.parity_split(u, s.fine_dims, sp)
+    got = ps.parity_div_apply(s.d["GT_cwin"], up, s.coarse_dims)
+    np.testing.assert_array_equal(
+        np.asarray(got)[: s.nnp], np.asarray(ref)[: s.nnp]
+    )
+
+
+def test_parity_solver_steps_match_interleaved(solver):
+    """End-to-end: the parity-layout solver reproduces the interleaved
+    fused solver over 3 time steps (same deck, same CG settings)."""
+    deck = cavity_deck(4, viscosity=0.01, dt=0.001)
+    cfg = dict(
+        dtype_policy=DTypePolicy.F32, pressure_backend="pallas",
+        setup_cache="off", steps_per_chunk=1,
+    )
+    sp_solver = ExplicitBCHSolver(
+        deck, SolverConfig(structured_layout="parity", **cfg)
+    )
+    assert sp_solver.layout == "parity"
+    assert "K_vals" not in sp_solver.d and "G_win" not in sp_solver.d
+
+    import jax
+
+    fn_i = jax.jit(solver._chunk_fn(1))
+    fn_p = jax.jit(sp_solver._chunk_fn(1))
+    st_i = solver.initial_state()
+    st_p = sp_solver.initial_state()
+    for _ in range(3):
+        st_i, packed_i = fn_i(solver.d, st_i)
+        st_p, packed_p = fn_p(sp_solver.d, st_p)
+    u_i, p_i = solver.fields(st_i)
+    u_p, p_p = sp_solver.fields(st_p)
+    np.testing.assert_allclose(u_p, u_i, atol=5e-6)
+    np.testing.assert_allclose(p_p, p_i, atol=5e-5)
+    mi = np.asarray(packed_i)
+    mp = np.asarray(packed_p)
+    np.testing.assert_allclose(mp[:5], mi[:5], atol=5e-6)   # monitors
+    assert mi[6] == mp[6]                                   # cg iters
+
+
+def test_parity_solver_state_roundtrip(solver):
+    deck = cavity_deck(4, viscosity=0.01, dt=0.001)
+    sp_solver = ExplicitBCHSolver(
+        deck,
+        SolverConfig(
+            dtype_policy=DTypePolicy.F32, pressure_backend="pallas",
+            setup_cache="off", structured_layout="parity",
+        ),
+    )
+    rng = np.random.default_rng(8)
+    u = rng.standard_normal((sp_solver.nn, 3)).astype(np.float32)
+    p = rng.standard_normal(sp_solver.nnp).astype(np.float32)
+    st = sp_solver.state_from_fields(u, p)
+    assert st.un.shape == (3, 8, sp_solver.sp_c)
+    u2, p2 = sp_solver.fields(st)
+    np.testing.assert_allclose(u2, u, atol=1e-7)
+    np.testing.assert_allclose(p2, p, atol=1e-7)
 
 
 def test_parity_elem_gather_scatter_match(solver):
