@@ -86,14 +86,101 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+# ---------------------------------------------------------------- dots
+#
+# The MIXED dtype policy (f32 state + f64 Krylov reductions,
+# ops.krylov._make_dot) has no f64 inside a Mosaic kernel (TPU f64 is
+# emulated at the XLA level only).  The TPU-native equivalent is
+# double-single arithmetic: exact products via a Dekker two_prod, and a
+# pairwise two_sum reduction tree that carries the rounding error of
+# every addition in a separate compensation stream.  The result matches
+# an f64 dot of the same f32 inputs to O(n * eps_f32^2) — below f64
+# round-off for these vector lengths (n <= a few 1e5).
+
+
+def _two_sum(a, b):
+    """Knuth two-sum: s + err == a + b exactly (6 flops, branch-free)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _two_prod(a, b):
+    """Dekker product: p + err == a * b exactly (f32 split at 2^12+1)."""
+    p = a * b
+    ca = a * 4097.0
+    ah = ca - (ca - a)
+    al = a - ah
+    cb = b * 4097.0
+    bh = cb - (cb - b)
+    bl = b - bh
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def _defuse(x):
+    """FMA-contraction fence (value identity for finite ``x``).
+
+    Without it the summation tree's first stage ``fl(p_hi + p_lo)``
+    contracts to ``fma(a, b, p_lo)`` (XLA:CPU does this by default;
+    observed in interpret mode), which silently breaks two_sum's
+    exactness precondition ``s == fl(a + b)``.  The data-dependent
+    select hides the multiply from the contraction pattern matcher and
+    cannot be constant-folded (a plain ``+0.0``/``*1.0``/double-bitcast
+    all get simplified away — tried).  two_prod itself is
+    contraction-robust (every Dekker partial is exact, so fma == mul+add
+    there), hence one fence on the product stream suffices.
+    """
+    return jnp.where(x == x, x, jnp.zeros_like(x))
+
+
+def _comp_dot(a, b):
+    """Compensated dot of two ``(1, s_pad)`` f32 vectors (in-kernel).
+
+    Exact per-element products (two_prod), pairwise two_sum tree over
+    the sublane rows (odd leftovers folded in at the end — no pads or
+    concats, Mosaic-friendly static slices only), then a rotate-add
+    butterfly across the 128 lanes, compensation carried throughout.
+    """
+    x, c = _two_prod(a, b)
+    x = _defuse(x)
+    x = x.reshape(-1, 128)
+    c = c.reshape(-1, 128)
+    n = x.shape[0]
+    strays = []                       # static: at most log2(n) rows
+    while n > 1:
+        k = n // 2
+        if n % 2:
+            strays.append((x[2 * k:], c[2 * k:]))
+        s, err = _two_sum(x[:k], x[k:2 * k])
+        c = c[:k] + c[k:2 * k] + err
+        x = s
+        n = k
+    for sx, sc in strays:
+        x, err = _two_sum(x, sx)
+        c = c + sc + err
+    for sh in (64, 32, 16, 8, 4, 2, 1):
+        s, err = _two_sum(x, pltpu.roll(x, sh, 1))
+        c = c + pltpu.roll(c, sh, 1) + err
+        x = s
+    return x[0, 0] + c[0, 0]
+
+
+def _plain_dot(a, b):
+    return jnp.sum(a * b)
+
+
 def _cg_iter_kernel(
     win_ref, x_ref, r_ref, pext_ref, dinv_ref, rz_ref,
     xo_ref, ro_ref, pexto_ref, rzo_ref, rno_ref,
     wbuf, sem,
     *, offs: tuple[int, ...], halo: int, s_pad: int, nb: int,
+    comp: bool = False,
 ):
     """One full CG iteration; win streamed HBM->VMEM double-buffered."""
     w3 = len(offs)
+    dot = _comp_dot if comp else _plain_dot
 
     def dma(slot, blk):
         # index as i32: under jax x64 a bare python int lowers to i64,
@@ -120,11 +207,11 @@ def _cg_iter_kernel(
 
     p = pext_ref[:, pl.ds(halo, s_pad)]
     rz = rz_ref[0, 0]
-    alpha = _safe_div(rz, jnp.sum(p * ap))
+    alpha = _safe_div(rz, dot(p, ap))
     x = x_ref[:] + alpha * p
     r = r_ref[:] - alpha * ap
     z = r * dinv_ref[:]
-    rz_new = jnp.sum(r * z)
+    rz_new = dot(r, z)
     beta = _safe_div(rz_new, rz)
     p_new = z + beta * p
     xo_ref[:] = x
@@ -132,7 +219,7 @@ def _cg_iter_kernel(
     pexto_ref[:] = jnp.zeros_like(pexto_ref)
     pexto_ref[:, pl.ds(halo, s_pad)] = p_new
     rzo_ref[0, 0] = rz_new
-    rno_ref[0, 0] = jnp.sqrt(jnp.sum(r * r))
+    rno_ref[0, 0] = jnp.sqrt(dot(r, r))
 
 
 def _cg_init_kernel(
@@ -140,6 +227,7 @@ def _cg_init_kernel(
     xo_ref, ro_ref, pexto_ref, rzo_ref, rno_ref, bno_ref,
     x0ext_buf, wbuf, sem,
     *, offs: tuple[int, ...], halo: int, s_pad: int, nb: int, warm: bool,
+    comp: bool = False,
 ):
     """CG init (r0 = b - A x0, z0 = r0*dinv, p_ext0, rz0, rn0, ||b||) as
     ONE pallas_call: profiling showed the equivalent XLA op chain costs
@@ -179,31 +267,42 @@ def _cg_init_kernel(
     else:
         r0 = b
         xo_ref[:] = jnp.zeros_like(xo_ref)
+    dot = _comp_dot if comp else _plain_dot
     z0 = r0 * dinv_ref[:]
     ro_ref[:] = r0
     pexto_ref[:] = jnp.zeros_like(pexto_ref)
     pexto_ref[:, pl.ds(halo, s_pad)] = z0
-    rzo_ref[0, 0] = jnp.sum(r0 * z0)
-    rno_ref[0, 0] = jnp.sqrt(jnp.sum(r0 * r0))
-    bno_ref[0, 0] = jnp.sqrt(jnp.sum(b * b))
+    rzo_ref[0, 0] = dot(r0, z0)
+    rno_ref[0, 0] = jnp.sqrt(dot(r0, r0))
+    bno_ref[0, 0] = jnp.sqrt(dot(b, b))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dims", "radius", "tol", "maxiter", "unroll", "_skip_loop"),
+    static_argnames=(
+        "dims", "radius", "tol", "maxiter", "unroll", "_skip_loop",
+        "dot_mode",
+    ),
 )
 def fused_cg(
     win, b, dinv, *, dims, radius, tol, maxiter, x0=None, unroll=1,
-    _skip_loop=False,
+    _skip_loop=False, dot_mode="plain",
 ):
     """Jacobi-preconditioned CG on a windowed stencil operator.
 
     ``win (W^3, S)`` window-ordered stencil values (layout contract of
     ``ops.pallas_stencil``: zero weights at boundary/absent entries),
     ``b (S,)`` RHS, ``dinv (S,)`` inverse diagonal.  Returns
-    :class:`KrylovResult` with ``x (S,)``.  f32 only (TPU f64 is
-    emulated and unsupported in Mosaic kernels); callers with F64/MIXED
-    policies use the XLA path.
+    :class:`KrylovResult` with ``x (S,)``.  f32 storage only (TPU f64 is
+    emulated and unsupported in Mosaic kernels).  ``dot_mode``:
+
+    * ``"plain"`` — f32 reductions (the reference GPU path's precision,
+      ``CUDAcodes.cu:433-442``);
+    * ``"compensated"`` — every inner product accumulates in
+      double-single arithmetic (:func:`_comp_dot`), matching the f64
+      reductions of ``ops.krylov.cg(dot_dtype=f64)`` — the MIXED policy
+      (``blascoCodinaHuerta.cpp:130-134`` is f64 throughout) — without
+      leaving f32 vectors.
     """
     sx, sy, _ = dims
     w = 2 * radius + 1
@@ -245,8 +344,10 @@ def fused_cg(
     b_p = pad1(b)
     dinv_p = pad1(dinv)
 
+    comp = dot_mode == "compensated"
     kernel = functools.partial(
         _cg_iter_kernel, offs=offs, halo=halo, s_pad=s_pad, nb=nb,
+        comp=comp,
     )
     vec = lambda n: pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -282,6 +383,7 @@ def fused_cg(
         x0_p = b_p                              # dummy operand, unread
     init_kernel = functools.partial(
         _cg_init_kernel, offs=offs, halo=halo, s_pad=s_pad, nb=nb, warm=warm,
+        comp=comp,
     )
     init_call = pl.pallas_call(
         init_kernel,

@@ -841,6 +841,13 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                         x0=x0_[0] if x0_ else None,
                         unroll=max(1, int(cfg.pressure_cg_unroll)),
                         _skip_loop="cgnoloop" in abl,
+                        # MIXED policy: double-single in-kernel dots
+                        # stand in for the XLA path's f64 reductions
+                        dot_mode=(
+                            "compensated"
+                            if cfg.krylov_dot_dtype() is not None
+                            else "plain"
+                        ),
                     )
 
                 if self.spmd_mesh is not None:

@@ -670,6 +670,12 @@ class ImplicitGQSolver(ChunkedTimeLoop):
                     tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,
                     x0=x0_[0] if x0_ else None,
                     unroll=max(1, int(cfg.pressure_cg_unroll)),
+                    # MIXED policy: double-single in-kernel dots stand in
+                    # for the XLA path's f64 reductions
+                    dot_mode=(
+                        "compensated" if cfg.krylov_dot_dtype() is not None
+                        else "plain"
+                    ),
                 )
 
             args = (win_cg, r2, dinv) + ((pdiff0,) if pdiff0 is not None else ())

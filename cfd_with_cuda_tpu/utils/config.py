@@ -68,10 +68,12 @@ class SolverConfig:
     # Pressure-solve backend: "auto" uses the fused Pallas CG kernel
     # (ops/pallas_cg.py — one op per CG iteration, measured ~9x per
     # iteration vs the XLA body) when the structured path is active on a
-    # single TPU chip with plain-f32 dots; "xla" forces the lax.while_loop
-    # CG; "pallas" forces the fused kernel (interpret mode off-TPU — slow,
-    # for tests).  F64/MIXED policies always take the XLA path (TPU f64 is
-    # emulated and unsupported in Mosaic kernels).
+    # single TPU chip; "xla" forces the lax.while_loop CG; "pallas"
+    # forces the fused kernel (interpret mode off-TPU — slow, for
+    # tests).  F64 storage always takes the XLA path (TPU f64 is
+    # emulated and unsupported in Mosaic kernels); MIXED runs the fused
+    # kernel with double-single compensated dots (dot_mode="compensated")
+    # standing in for the f64 reductions.
     pressure_backend: str = "auto"
     # Warm-start the pressure CG from the previous sub-iteration's pdot
     # (x0=0 matches the reference's MKL/CUSP solvers exactly, so this
@@ -166,15 +168,20 @@ class SolverConfig:
             # request by routing to the XLA CG + V-cycle path instead of
             # silently ignoring the preconditioner choice
             return False
-        if self.jnp_dtype() != jnp.float32 or self.krylov_dot_dtype() is not None:
-            return False
+        if self.jnp_dtype() != jnp.float32:
+            return False        # F64 storage: XLA path (TPU f64 is emulated)
+        # MIXED (f32 storage + f64 Krylov reductions) IS eligible: the
+        # fused kernel runs its dots in double-single arithmetic
+        # (ops.pallas_cg dot_mode="compensated"), the TPU-native
+        # equivalent of the XLA path's f64 accumulation.
+        if self.pressure_backend == "pallas":
+            return True
         if jax.config.jax_enable_x64 and jax.default_backend() == "tpu":
             # under x64, python int literals trace as i64 inside kernels
             # and Mosaic rejects them (index maps, DMA slices); interpret
-            # mode off-TPU is unaffected
+            # mode off-TPU is unaffected.  pressure_backend="pallas"
+            # above force-overrides for hardware verification.
             return False
-        if self.pressure_backend == "pallas":
-            return True
         if jax.default_backend() != "tpu":
             return False
         # multi-chip: eligible when the sharded fast path is configured

@@ -48,6 +48,7 @@ def _check(solver, state):
     assert (u[interior_out, 0] > 0).all()
 
 
+@pytest.mark.slow  # ~4 min on the 1-core CPU host (long develop run)
 def test_explicit_channel_develops_to_series_profile():
     deck = channel_deck(
         12, 4, 4, lengths=(3.0, 1.0, 1.0), viscosity=0.125, dt=0.01,

@@ -99,6 +99,69 @@ def test_fused_cg_prepadded_weights(pinned_z):
         )
 
 
+def test_comp_dot_accumulates_like_f64():
+    """The in-kernel double-single dot (MIXED policy) matches the f64
+    dot of the same f32 inputs to ~1 ulp of the f32-rounded result."""
+    import functools
+
+    import jax
+    from jax.experimental import pallas as pl
+
+    from cfd_with_cuda_tpu.ops.pallas_cg import _comp_dot
+
+    def kernel(a_ref, b_ref, o_ref):
+        o_ref[0, 0] = _comp_dot(a_ref[:], b_ref[:])
+
+    rng = np.random.default_rng(11)
+    for n in (128, 4096, 29824):      # 29824/128 = 233 rows: odd strays
+        a = (rng.standard_normal(n) * 10.0 ** rng.uniform(-3, 3, n)).astype(
+            np.float32
+        )
+        b = (rng.standard_normal(n) * 10.0 ** rng.uniform(-3, 3, n)).astype(
+            np.float32
+        )
+        got = float(
+            pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                interpret=True,
+            )(a[None], b[None])[0, 0]
+        )
+        exact = float(np.dot(a.astype(np.float64), b.astype(np.float64)))
+        ulp = float(np.spacing(np.float32(abs(exact)) or np.float32(1.0)))
+        assert abs(got - exact) <= 2 * ulp, (n, got, exact)
+
+
+def test_fused_cg_compensated_matches_f64_dot_cg(pinned_z):
+    """dot_mode='compensated' reproduces the MIXED-policy XLA CG
+    (f64 Krylov reductions): same iteration counts, solutions at least
+    as close to the f64-dot iterate as plain-f32 dots."""
+    win, diag, dims, radius = pinned_z
+    rng = np.random.default_rng(13)
+    b = rng.standard_normal(int(np.prod(dims))).astype(np.float32)
+    b[0] = 0.0
+    winj = jnp.asarray(win)
+    mv = lambda p: patches_spmv(
+        winj, p.astype(jnp.float32), dims, radius
+    ).astype(p.dtype)
+    ref64 = krylov.cg(
+        mv, jnp.asarray(b), tol=2e-7, maxiter=400,
+        precond=lambda r: r / jnp.asarray(diag), dot_dtype=jnp.float64,
+    )
+    errs = {}
+    for mode in ("plain", "compensated"):
+        out = fused_cg(
+            winj, jnp.asarray(b), jnp.asarray(1.0 / diag),
+            dims=dims, radius=radius, tol=2e-7, maxiter=400, dot_mode=mode,
+        )
+        assert int(out.iters) == int(ref64.iters), mode
+        errs[mode] = float(
+            jnp.max(jnp.abs(out.x.astype(jnp.float64)
+                            - ref64.x.astype(jnp.float64)))
+        )
+    assert errs["compensated"] <= errs["plain"] + 1e-12, errs
+
+
 def test_fused_cg_zero_rhs(pinned_z):
     """b = 0 must return x = 0 in 0 iterations (breakdown guards)."""
     win, diag, dims, radius = pinned_z
