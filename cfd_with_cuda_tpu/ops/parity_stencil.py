@@ -59,6 +59,10 @@ __all__ = [
     "build_parity_apply_tables",
     "parity_apply",
     "parity_div_apply",
+    "build_conv_assembly_route",
+    "diag_plane_indices",
+    "parity_assemble_conv",
+    "decode_offsets",
 ]
 
 
@@ -308,8 +312,17 @@ def build_parity_apply_tables(win, offsets_xyz, fine_dims, dtype=None):
     return wc, tuple(pairs_c)
 
 
-@functools.partial(jax.jit, static_argnames=("pairs", "co", "blk"))
-def parity_apply(wc, x, *, pairs, co=None, blk=1024):
+# Above this many bytes the class-split field no longer sits whole in
+# VMEM next to the streamed weight blocks (16 MB/core): stream it from
+# HBM in halo-extended blocks instead.  NE27000 fields are ~3 MB (stay
+# resident); NE85184 ~8.5 MB and NE125000 ~12.4 MB stream.
+_X_STREAM_BYTES = 6 * 2**20
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pairs", "co", "blk", "stream_x")
+)
+def parity_apply(wc, x, *, pairs, co=None, blk=1024, stream_x=None):
     """y[c, p, q] = sum_{(j, p', dq) in pairs[p]} wc[:, j, q] * x[c, p', q+dq]
 
     ``wc (cw, m, Sp)`` concat-slot weights (from
@@ -319,8 +332,13 @@ def parity_apply(wc, x, *, pairs, co=None, blk=1024):
     with ``co = max(C, cw)`` by default (cw=1: shared weights over C
     channels, K; C=1: per-channel weights, G).
 
-    The class-split field stays VMEM-resident; weights stream per
-    ``blk`` block — the only big HBM traffic.
+    Weights stream per ``blk`` block — the only big HBM traffic.  The
+    class-split field stays VMEM-resident when it fits
+    (``_X_STREAM_BYTES``); above that (NE85184+ velocity fields) it is
+    DMA-streamed from HBM in halo-extended blocks (``stream_x`` forces
+    either mode).  Class-major halos are coarse-grid-scale (~cx*cy
+    elements), so the re-read amplification is (blk+2*halo)/blk — a few
+    percent at production sizes.
     """
     c, _, sp = x.shape
     cw, m, _ = wc.shape
@@ -331,32 +349,91 @@ def parity_apply(wc, x, *, pairs, co=None, blk=1024):
     halo = _round_up(halo_raw, 128)
     x_ext = jnp.pad(x, ((0, 0), (0, 0), (halo, halo + 128)))
     n_blocks = sp // blk
+    if stream_x is None:
+        stream_x = x_ext.size * x_ext.dtype.itemsize > _X_STREAM_BYTES
 
-    def kernel(x_ref, w_ref, o_ref):
-        s0 = pl.program_id(0) * blk
+    if not stream_x:
+        def kernel(x_ref, w_ref, o_ref):
+            s0 = pl.program_id(0) * blk
+            for p in range(8):
+                acc = jnp.zeros((co, blk), x_ref.dtype)
+                for (j, pp, dq) in pairs[p]:
+                    start = halo + dq
+                    align = (start // 128) * 128
+                    rem = start - align
+                    xs = x_ref[:, pp, pl.ds(s0 + align, blk + 128)]
+                    xs = lax.slice_in_dim(xs, rem, rem + blk, axis=1)
+                    acc = acc + w_ref[:, j, :] * xs
+                o_ref[:, p, :] = acc
+
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec(x_ext.shape, lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cw, m, blk), lambda i: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((co, 8, blk), lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((co, 8, sp), x.dtype),
+            interpret=_interpret(),
+        )(x_ext, wc)
+
+    # ---- streamed field: x_ext stays in HBM; each grid step DMAs its
+    # halo-extended block into a double-buffered VMEM scratch (manual
+    # make_async_copy — the same pattern ops.pallas_cg uses for its
+    # weight stream), overlapped with the previous block's compute.
+    p_in = x.shape[1]
+    ell = blk + 2 * halo + 128          # block + halos + align slack
+
+    def kernel_s(x_hbm, w_ref, o_ref, xbuf, sem):
+        i = pl.program_id(0)
+        i32 = lambda v: jnp.asarray(v, jnp.int32)
+
+        def dma(slot, block):
+            return pltpu.make_async_copy(
+                x_hbm.at[:, :, pl.ds(i32(block) * blk, ell)],
+                xbuf.at[i32(slot)],
+                sem.at[i32(slot)],
+            )
+
+        @pl.when(i == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(i + 1 < n_blocks)
+        def _():
+            dma((i + 1) % 2, i + 1).start()
+
+        dma(i % 2, i).wait()
         for p in range(8):
-            acc = jnp.zeros((co, blk), x_ref.dtype)
+            acc = jnp.zeros((co, blk), o_ref.dtype)
             for (j, pp, dq) in pairs[p]:
                 start = halo + dq
                 align = (start // 128) * 128
                 rem = start - align
-                xs = x_ref[:, pp, pl.ds(s0 + align, blk + 128)]
+                xs = xbuf[i % 2, :, pp, pl.ds(align, blk + 128)]
                 xs = lax.slice_in_dim(xs, rem, rem + blk, axis=1)
                 acc = acc + w_ref[:, j, :] * xs
             o_ref[:, p, :] = acc
 
     return pl.pallas_call(
-        kernel,
+        kernel_s,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(x_ext.shape, lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),          # x stays in HBM
             pl.BlockSpec((cw, m, blk), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((co, 8, blk), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((co, 8, sp), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, c, p_in, ell), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=_interpret(),
     )(x_ext, wc)
 
@@ -430,6 +507,86 @@ def parity_scatter_elem(r_e, elem_dims, coarse_dims, sp: int):
                 i += 1
     out = out.reshape(c, 8, -1)
     return jnp.pad(out, ((0, 0), (0, 0), (0, sp - out.shape[-1])))
+
+
+# ------------------------------------------ per-step LHS assembly (implicit)
+#
+# The implicit integrator re-assembles A = M/dt + K + A(u^k) every step.
+# In the parity layout each elemental channel pair (i, j) lands in ONE
+# concat-slot plane at ONE fixed coarse offset: element (I,J,K)'s local
+# node o = (ox,oy,oz) in {0,1,2}^3 is class (o&1) at coarse (I,J,K)+(o>>1),
+# so entry A[row=node_i, col=node_j] belongs to plane
+# (p_out=class(i), p_in=class(j), dq=(oj>>1)-(oi>>1)) at coarse position
+# (I,J,K)+(oi>>1) — a CONTIGUOUS dynamic-update-slice add of ae[i, j]
+# (the interleaved path needs interior-dilated pads here, ~10x under
+# bandwidth).  The (i, j) -> (plane, offset) map is bijective: 729 pairs
+# cover the ~512 live planes with one DUS per pair.
+
+
+def build_conv_assembly_route(local_off, pairs, coarse_dims):
+    """Host, setup-time: (i, j) channel pair -> (plane, DUS offset).
+
+    ``local_off``: the 27 local-node offsets in window-channel (z-major)
+    order (the ae einsum's i/j axes).  ``pairs``: the concat-slot routing
+    of the STATIC part's table (``build_parity_apply_tables`` on
+    M/dt + K) — the per-step convection shares its adjacency, so every
+    (i, j) plane must already be live there (consistent mass guarantees
+    it; raises if a plane was dropped).  Returns a tuple of
+    ``(i, j, plane, (dx, dy, dz))``.
+    """
+    cx, cy, _ = coarse_dims
+    cls = lambda o: ((o[2] & 1) * 2 + (o[1] & 1)) * 2 + (o[0] & 1)
+    route = []
+    for i, oi in enumerate(local_off):
+        p_out = cls(oi)
+        di = (oi[0] >> 1, oi[1] >> 1, oi[2] >> 1)
+        for j, oj in enumerate(local_off):
+            p_in = cls(oj)
+            dj = (oj[0] >> 1, oj[1] >> 1, oj[2] >> 1)
+            dq = ((dj[2] - di[2]) * cy + (dj[1] - di[1])) * cx + (
+                dj[0] - di[0]
+            )
+            hits = [
+                jj for (jj, pp, dd) in pairs[p_out]
+                if pp == p_in and dd == dq
+            ]
+            if not hits:
+                raise ValueError(
+                    f"plane (p_out={p_out}, p_in={p_in}, dq={dq}) for "
+                    f"channel pair ({i},{j}) is not live in the static "
+                    "table — cannot route the convection assembly"
+                )
+            route.append((i, j, hits[0], di))
+    return tuple(route)
+
+
+def diag_plane_indices(pairs):
+    """Per output class: the concat-slot plane holding the diagonal
+    (p_in == p_out, dq == 0)."""
+    out = []
+    for p in range(8):
+        hits = [jj for (jj, pp, dd) in pairs[p] if pp == p and dd == 0]
+        assert len(hits) == 1, (p, hits)
+        out.append(hits[0])
+    return tuple(out)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("route", "n_planes", "elem_dims",
+                              "coarse_dims", "sp")
+)
+def parity_assemble_conv(ae, *, route, n_planes, elem_dims, coarse_dims, sp):
+    """(1, n_planes, sp) concat-slot table from elemental convection
+    matrices ``ae (27, 27, NE)`` (window-channel order, NE z-major) via
+    one contiguous DUS add per (i, j) pair (``build_conv_assembly_route``)."""
+    ex, ey, ez = elem_dims
+    cx, cy, cz = coarse_dims
+    out = jnp.zeros((n_planes, cz, cy, cx), ae.dtype)
+    for (i, j, jp, (dx, dy, dz)) in route:
+        v = ae[i, j].reshape(ez, ey, ex)
+        out = out.at[jp, dz:dz + ez, dy:dy + ey, dx:dx + ex].add(v)
+    out = out.reshape(n_planes, -1)
+    return jnp.pad(out, ((0, 0), (0, sp - cx * cy * cz)))[None]
 
 
 def decode_offsets(flat_offsets, fine_dims, radius: int = 2):

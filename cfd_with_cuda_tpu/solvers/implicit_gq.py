@@ -72,6 +72,8 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         "gt_radius", "conv_oij", "_ell_shape", "_nnz",
         "s_pad", "pin_grid", "monitor_node", "monitor_node_p", "use_mg",
         "mg_dims", "mg_radii", "mg_omegas", "_pallas_layout",
+        "layout", "sp_c", "a_pairs", "m_pairs", "g_pairs", "conv_route",
+        "diag_planes", "mon_cls", "mon_q",
     )
 
     def _setup(self) -> None:
@@ -96,6 +98,17 @@ class ImplicitGQSolver(ChunkedTimeLoop):
                 sc.solver_restore(self, snap)
                 self._momentum_solver = solver_by_name(cfg.momentum_solver)
                 return
+
+        # parity-split layout attrs (filled by _try_structured when active)
+        self.layout = "interleaved"
+        self.sp_c = None
+        self.a_pairs = None
+        self.m_pairs = None
+        self.g_pairs = None
+        self.conv_route = None
+        self.diag_planes = None
+        self.mon_cls = None
+        self.mon_q = None
 
         mesh = promote_hex_mesh(deck.conn, deck.coords)
         self.mesh = mesh
@@ -188,6 +201,12 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             raise ValueError(
                 "pressure_precond='mg' needs the structured fast path "
                 "(geometric hierarchy); this mesh fell back to ELL"
+            )
+        if cfg.structured_layout == "parity" and self.layout != "parity":
+            raise ValueError(
+                "structured_layout='parity' needs the fused Pallas path "
+                "(single chip, f32/pallas backend) on an element-"
+                "structured box grid"
             )
         if self.structured:
             self.dt = float(deck.dt)
@@ -470,10 +489,92 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             self.d["mg_zinv"] = mg["zinv"]
             self.use_mg = True
 
+        # ---- parity-split (class-major) layout (see explicit_bch): the
+        # per-step LHS assembly becomes contiguous DUS adds straight into
+        # compacted concat-slot planes (no interior-dilated pads), the
+        # momentum applies stream ~2x less weight, and every stride-2
+        # gather/embed is a contiguous slice (ops/parity_stencil).
+        use_parity = (
+            self._pallas_layout
+            and self.elem_structured
+            and int(self.config.spmd_devices or 0) <= 1
+            and self.config.structured_layout in ("auto", "parity")
+        )
+        if use_parity:
+            from cfd_with_cuda_tpu.ops import parity_stencil as pstl
+
+            self.layout = "parity"
+            (pcx, pcy, pcz), sp_c = pstl.parity_dims((fx, fy, fz))
+            assert (pcx, pcy, pcz) == (cx, cy, cz)
+            self.sp_c = sp_c
+            offs_a = pstl.decode_offsets(self.a_offsets, (fx, fy, fz))
+            # static LHS part pre-masked (BC rows zeroed, unit diagonal
+            # there): the per-step device work is ONLY the masked
+            # convection add
+            mk_masked = np.asarray(self.d["MK_vals"]) * np.asarray(
+                self.d["row_mask_grid"]
+            )[None]
+            mk_masked[self.a_zero_off] += np.asarray(self.d["diag_add_grid"])
+            mkp, self.a_pairs = pstl.build_parity_apply_tables(
+                mk_masked, offs_a, (fx, fy, fz)
+            )
+            self.diag_planes = pstl.diag_plane_indices(self.a_pairs)
+            # class-box pad slots carry no row: unit diagonal keeps the
+            # Jacobi division finite (their residuals are identically 0)
+            for p in range(8):
+                col = mkp[0, self.diag_planes[p]]
+                mkp[0, self.diag_planes[p]] = np.where(col == 0.0, 1.0, col)
+            self.conv_route = pstl.build_conv_assembly_route(
+                self.local_off, self.a_pairs, (cx, cy, cz)
+            )
+            mp, self.m_pairs = pstl.build_parity_apply_tables(
+                np.asarray(self.d["M_vals"]), offs_a, (fx, fy, fz)
+            )
+            r = self.g_radius
+            offs_g = tuple(
+                (dx, dy, dz)
+                for dz in range(-r, r + 1)
+                for dy in range(-r, r + 1)
+                for dx in range(-r, r + 1)
+            )
+            gp, self.g_pairs = pstl.build_parity_apply_tables(
+                self.d["G_win"], offs_g, (fx, fy, fz)
+            )
+            assert all(
+                pp == 0 for cls_ in self.g_pairs for (_, pp, _) in cls_
+            )
+            self.d["MKp"] = np.asarray(mkp, dtype)
+            self.d["Mp"] = np.asarray(mp, dtype)
+            self.d["Gp"] = np.asarray(gp, dtype)
+            self.d["bc_mask_p"] = pstl.parity_split_table(
+                self.d["bc_mask"], (fx, fy, fz), sp_c
+            )
+            self.d["bc_vel_p"] = pstl.parity_split_table(
+                self.d["bc_vel"], (fx, fy, fz), sp_c
+            )
+            mxyz = (
+                self.monitor_node % fx,
+                (self.monitor_node // fx) % fy,
+                self.monitor_node // (fx * fy),
+            )
+            self.mon_cls = (
+                (mxyz[2] & 1) * 2 + (mxyz[1] & 1)
+            ) * 2 + (mxyz[0] & 1)
+            self.mon_q = (
+                (mxyz[2] >> 1) * cy + (mxyz[1] >> 1)
+            ) * cx + (mxyz[0] >> 1)
+            # the step never touches the interleaved big tables: drop
+            # them from HBM + the snapshot
+            for key in ("MK_vals", "M_vals", "G_win", "GT_win", "Z_win",
+                        "row_mask_grid", "diag_add_grid", "bc_mask",
+                        "bc_vel"):
+                self.d.pop(key, None)
+
     # ----------------------------------------------------------------- state
     def initial_state(self) -> ImplicitState:
         dtype = self.config.jnp_dtype()
-        uk = jnp.array(self.d["bc_vel"], dtype=dtype, copy=True)
+        key = "bc_vel_p" if self.layout == "parity" else "bc_vel"
+        uk = jnp.array(self.d[key], dtype=dtype, copy=True)
         pk = jnp.zeros(self.nnp, dtype=dtype)
         return ImplicitState(uk=uk, pk=pk, pk_prev=jnp.zeros_like(pk))
 
@@ -487,6 +588,10 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             pg = np.empty_like(p)
             pg[self.perm_p] = p
             u, p = ug, pg
+            if self.layout == "parity":
+                from cfd_with_cuda_tpu.ops import parity_stencil as pstl
+
+                u = pstl.parity_split_table(u, self.fine_dims, self.sp_c)
         elif self.s_pad > self.nn:       # ELL shard padding
             u = np.pad(u, ((0, 0), (0, self.s_pad - self.nn)))
         # pk and pk_prev must be DISTINCT buffers: run() donates the state,
@@ -501,8 +606,110 @@ class ImplicitGQSolver(ChunkedTimeLoop):
     # ------------------------------------------------------------- one step
     def _time_step(self, params, state: ImplicitState):
         if self.structured:
+            if self.layout == "parity":
+                return self._time_step_parity(params, state)
             return self._time_step_structured(params, state)
         return self._time_step_ell(params, state)
+
+    def _time_step_parity(self, d, state: ImplicitState):
+        """Class-major layout (ops/parity_stencil): the per-step LHS is
+        assembled by contiguous DUS adds straight into compacted
+        concat-slot planes (no interior-dilated pads), the momentum
+        BiCGStab applies the compacted table, and grad/div read/emit the
+        coarse pressure grid directly."""
+        from cfd_with_cuda_tpu.ops import parity_stencil as pstl
+        from cfd_with_cuda_tpu.ops.pallas_cg import fused_cg
+
+        cfg = self.config
+        dt = self.dt
+        uk_prev, pk_prev, pk_prevprev = state       # uk (3, 8, Sp)
+        sp_c = self.sp_c
+
+        # ---- per-step LHS: A = (M/dt + K)|masked + masked A(u^k)
+        u0_e = pstl.parity_gather_elem(
+            uk_prev, self.elem_dims, self.coarse_dims, sp_c
+        )
+        u0_gq = jnp.einsum("ki,die->dke", d["Sv"], u0_e)
+        udotg = jnp.einsum("dke,djke->jke", u0_gq, d["gDSv"])
+        ae = jnp.einsum("ki,ke,jke->ije", d["Sv"], d["gq"], udotg)
+        # Dirichlet row-zeroing in ELEMENT space: contributions whose
+        # output node is a BC node vanish (the static MKp already carries
+        # the unit diagonal there)
+        mask_e = pstl.parity_gather_elem(
+            d["bc_mask_p"][None], self.elem_dims, self.coarse_dims, sp_c
+        )[0]
+        ae = ae * mask_e[:, None, :]
+        conv_p = pstl.parity_assemble_conv(
+            ae, route=self.conv_route, n_planes=int(d["MKp"].shape[1]),
+            elem_dims=self.elem_dims, coarse_dims=self.coarse_dims,
+            sp=sp_c,
+        )
+        a_wc = d["MKp"] + conv_p
+        a_diag = jnp.stack(
+            [a_wc[0, jp] for jp in self.diag_planes]
+        ).reshape(1, -1)                             # (1, 8*Sp)
+
+        a_mul = lambda x: pstl.parity_apply(
+            a_wc, x.reshape(3, 8, sp_c), pairs=self.a_pairs, co=3
+        ).reshape(3, -1)
+        m_mul = lambda x: pstl.parity_apply(
+            d["Mp"], x, pairs=self.m_pairs, co=3
+        )
+
+        def grad(p):
+            xp = jnp.pad(p, (0, sp_c - p.shape[0]))[None, None]
+            return pstl.parity_apply(d["Gp"], xp, pairs=self.g_pairs, co=3)
+
+        div = lambda u: pstl.parity_div_apply(
+            d["GT_cwin"], u, self.coarse_dims
+        )[: self.nnp]
+
+        # ---- RHS = (M/dt) u^k - G (2 p^k - p^{k-1}); BC rows = BC values
+        pdiff2 = 2.0 * pk_prev - pk_prevprev
+        r1 = m_mul(uk_prev) - grad(pdiff2)
+        r1 = r1 * d["bc_mask_p"][None] + d["bc_vel_p"]
+
+        warm = bool(getattr(cfg, "implicit_warm_start", False))
+        mom = self._momentum_solver(
+            a_mul,
+            r1.reshape(3, -1),
+            x0=uk_prev.reshape(3, -1) if warm else None,
+            tol=cfg.momentum_tol,
+            atol=cfg.momentum_abs_tol,
+            maxiter=cfg.momentum_maxiter,
+            dot_dtype=cfg.krylov_dot_dtype(),
+            precond=lambda r: r / a_diag,
+        )
+        uk = mom.x.reshape(3, 8, sp_c)
+
+        # ---- step2: fused pressure CG on the coarse grid (unchanged —
+        # the pressure grid IS class 0)
+        r2 = (-1.0 / dt) * div(uk) * d["p_mask"]
+        if self.pin_grid > 0:
+            r2 = r2.at[self.pin_grid].set(0.0)
+        pdiff0 = (pk_prev - pk_prevprev) if warm else None
+        win_cg = d["Z_win_cg"]
+        sol = fused_cg(
+            win_cg, r2, d["Z_dinv_cg"],
+            dims=self.coarse_dims, radius=self.z_radius,
+            tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,
+            x0=pdiff0,
+            unroll=max(1, int(cfg.pressure_cg_unroll)),
+            dot_mode=(
+                "compensated" if cfg.krylov_dot_dtype() is not None
+                else "plain"
+            ),
+        )
+        pk = pk_prev + sol.x
+
+        max_acc = jnp.max(jnp.abs(uk - uk_prev)) / dt
+        probe = lambda a, c_: a[c_, self.mon_cls, self.mon_q]
+        stats = StepStats(
+            u_mon=probe(uk, 0), v_mon=probe(uk, 1), w_mon=probe(uk, 2),
+            p_mon=pk[self.monitor_node_p], max_acc=max_acc,
+            iters=jnp.asarray(1), cg_iters=sol.iters, mom_iters=mom.iters,
+        )
+        return ImplicitState(uk=uk, pk=pk, pk_prev=pk_prev), stats
 
     def _time_step_structured(self, params, state: ImplicitState):
         """Structured path: per-step LHS (re)assembled straight into DIA
@@ -805,18 +1012,28 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         return ImplicitState(uk=uk, pk=pk, pk_prev=pk_prev), stats
 
     def _monitor_only(self, state: ImplicitState) -> StepStats:
-        mon = self.monitor_node
+        if self.layout == "parity":
+            probe = lambda c_: state.uk[c_, self.mon_cls, self.mon_q]
+        else:
+            probe = lambda c_: state.uk[c_, self.monitor_node]
         zero = jnp.zeros((), self.config.jnp_dtype())
         return StepStats(
-            state.uk[0, mon], state.uk[1, mon], state.uk[2, mon],
-            state.pk[self.monitor_node_p], zero, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0),
+            probe(0), probe(1), probe(2),
+            state.pk[self.monitor_node_p], zero, jnp.asarray(0),
+            jnp.asarray(0), jnp.asarray(0),
         )
 
     # ------------------------------------------------------------------- io
     def fields(self, state: ImplicitState):
         """(u (NN,3), p (NNp,)) as numpy (host convention, deck order)."""
-        u = np.asarray(state.uk)[:, : self.nn] if not self.structured \
-            else np.asarray(state.uk)
+        if self.layout == "parity":
+            from cfd_with_cuda_tpu.ops import parity_stencil as pstl
+
+            u = np.asarray(pstl.parity_merge(state.uk, self.fine_dims))
+        elif self.structured:
+            u = np.asarray(state.uk)
+        else:
+            u = np.asarray(state.uk)[:, : self.nn]
         pf = np.asarray(state.pk)
         if self.structured:
             u = u[:, self.perm]

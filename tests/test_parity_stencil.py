@@ -178,6 +178,43 @@ def test_parity_apply_concat_grad_matches(solver):
     )
 
 
+def test_parity_apply_streamed_field_matches_resident(solver):
+    """The HBM-streamed field variant (NE85184+ sizes where the class-
+    split field no longer fits VMEM next to the weight stream) is
+    bit-equal to the VMEM-resident kernel, for both K (C=3, P=8) and
+    grad (C=1, P=1) shapes."""
+    s = solver
+    from cfd_with_cuda_tpu.ops import parity_stencil as ps2
+
+    deck = cavity_deck(4, viscosity=0.01, dt=0.001)
+    sp_solver = ExplicitBCHSolver(
+        deck,
+        SolverConfig(
+            dtype_policy=DTypePolicy.F32, pressure_backend="pallas",
+            setup_cache="off", structured_layout="parity",
+        ),
+    )
+    rng = np.random.default_rng(9)
+    u = jnp.asarray(
+        rng.standard_normal((3, 8, sp_solver.sp_c)), jnp.float32
+    )
+    y0 = ps2.parity_apply(
+        sp_solver.d["Kp"], u, pairs=sp_solver.k_pairs, co=3, stream_x=False
+    )
+    y1 = ps2.parity_apply(
+        sp_solver.d["Kp"], u, pairs=sp_solver.k_pairs, co=3, stream_x=True
+    )
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    p = jnp.asarray(rng.standard_normal((1, 1, sp_solver.sp_c)), jnp.float32)
+    g0 = ps2.parity_apply(
+        sp_solver.d["Gp"], p, pairs=sp_solver.g_pairs, co=3, stream_x=False
+    )
+    g1 = ps2.parity_apply(
+        sp_solver.d["Gp"], p, pairs=sp_solver.g_pairs, co=3, stream_x=True
+    )
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+
+
 def test_parity_div_matches_compact(solver):
     from cfd_with_cuda_tpu.ops.pallas_stencil import pallas_div_compact
 
@@ -239,6 +276,68 @@ def test_parity_solver_state_roundtrip(solver):
     p = rng.standard_normal(sp_solver.nnp).astype(np.float32)
     st = sp_solver.state_from_fields(u, p)
     assert st.un.shape == (3, 8, sp_solver.sp_c)
+    u2, p2 = sp_solver.fields(st)
+    np.testing.assert_allclose(u2, u, atol=1e-7)
+    np.testing.assert_allclose(p2, p, atol=1e-7)
+
+
+def test_implicit_parity_solver_steps_match_interleaved():
+    """Implicit GQ on the parity layout reproduces the interleaved fused
+    solver over 3 steps: same CG + momentum iteration counts, fields
+    equal to solver tolerance (the BiCGStab runs through different op
+    orders, so agreement is tolerance-level, not bitwise)."""
+    import jax
+
+    from cfd_with_cuda_tpu.solvers.implicit_gq import ImplicitGQSolver
+
+    deck = cavity_deck(4, viscosity=0.01, dt=0.01)
+    cfg = dict(
+        dtype_policy=DTypePolicy.F32, pressure_backend="pallas",
+        setup_cache="off", steps_per_chunk=1,
+    )
+    si = ImplicitGQSolver(
+        deck, SolverConfig(structured_layout="interleaved", **cfg)
+    )
+    sp_solver = ImplicitGQSolver(
+        deck, SolverConfig(structured_layout="parity", **cfg)
+    )
+    assert sp_solver.layout == "parity"
+    assert "MK_vals" not in sp_solver.d and "G_win" not in sp_solver.d
+
+    fn_i = jax.jit(si._chunk_fn(1))
+    fn_p = jax.jit(sp_solver._chunk_fn(1))
+    st_i = si.initial_state()
+    st_p = sp_solver.initial_state()
+    for _ in range(3):
+        st_i, packed_i = fn_i(si.d, st_i)
+        st_p, packed_p = fn_p(sp_solver.d, st_p)
+    u_i, p_i = si.fields(st_i)
+    u_p, p_p = sp_solver.fields(st_p)
+    np.testing.assert_allclose(u_p, u_i, atol=5e-5)
+    np.testing.assert_allclose(p_p, p_i, atol=5e-5)
+    mi = np.asarray(packed_i)
+    mp = np.asarray(packed_p)
+    np.testing.assert_allclose(mp[:5], mi[:5], atol=5e-5)   # monitors
+    assert mi[6] == mp[6]                                   # cg iters
+    assert mi[7] == mp[7]                                   # mom iters
+
+
+def test_implicit_parity_state_roundtrip():
+    from cfd_with_cuda_tpu.solvers.implicit_gq import ImplicitGQSolver
+
+    deck = cavity_deck(4, viscosity=0.01, dt=0.01)
+    sp_solver = ImplicitGQSolver(
+        deck,
+        SolverConfig(
+            dtype_policy=DTypePolicy.F32, pressure_backend="pallas",
+            setup_cache="off", structured_layout="parity",
+        ),
+    )
+    rng = np.random.default_rng(12)
+    u = rng.standard_normal((sp_solver.nn, 3)).astype(np.float32)
+    p = rng.standard_normal(sp_solver.nnp).astype(np.float32)
+    st = sp_solver.state_from_fields(u, p)
+    assert st.uk.shape == (3, 8, sp_solver.sp_c)
     u2, p2 = sp_solver.fields(st)
     np.testing.assert_allclose(u2, u, atol=1e-7)
     np.testing.assert_allclose(p2, p, atol=1e-7)

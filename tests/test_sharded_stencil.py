@@ -153,6 +153,9 @@ def test_sharded_fused_implicit_step_matches_single_device():
     base = dict(
         dtype_policy=DTypePolicy.F32, pressure_cg_tol=1e-6,
         steps_per_chunk=1, pressure_backend="pallas",
+        # the sharded path is interleaved; keep the single-device
+        # reference in the same layout for the state comparison
+        structured_layout="interleaved",
     )
     ref_solver = ImplicitGQSolver(deck, SolverConfig(**base))
     assert ref_solver.structured and ref_solver.spmd_mesh is None
