@@ -519,8 +519,11 @@ def parity_scatter_elem(r_e, elem_dims, coarse_dims, sp: int):
 # (p_out=class(i), p_in=class(j), dq=(oj>>1)-(oi>>1)) at coarse position
 # (I,J,K)+(oi>>1) — a CONTIGUOUS dynamic-update-slice add of ae[i, j]
 # (the interleaved path needs interior-dilated pads here, ~10x under
-# bandwidth).  The (i, j) -> (plane, offset) map is bijective: 729 pairs
-# cover the ~512 live planes with one DUS per pair.
+# bandwidth).  The (i, j) -> (plane, di) map is injective, and within a
+# fixed coarse offset di the planes are unique, so grouping the 729
+# pairs by their 8 possible di vectors turns the assembly into 8
+# static-index gathers + 8 windowed scatter-adds (instead of 729
+# separate DUS ops — which bloat both the HLO and dispatch).
 
 
 def build_conv_assembly_route(local_off, pairs, coarse_dims):
@@ -577,14 +580,30 @@ def diag_plane_indices(pairs):
 )
 def parity_assemble_conv(ae, *, route, n_planes, elem_dims, coarse_dims, sp):
     """(1, n_planes, sp) concat-slot table from elemental convection
-    matrices ``ae (27, 27, NE)`` (window-channel order, NE z-major) via
-    one contiguous DUS add per (i, j) pair (``build_conv_assembly_route``)."""
+    matrices ``ae (27, 27, NE)`` (window-channel order, NE z-major).
+
+    The 729 (i, j) channel pairs are grouped by their coarse offset
+    ``di`` (8 groups); each group is one static-index gather over the
+    flattened (i, j) axis + one windowed scatter-add into unique planes
+    at the group's shifted box — 16 ops total instead of 729 DUS.
+    """
     ex, ey, ez = elem_dims
     cx, cy, cz = coarse_dims
+    nj = ae.shape[1]
+    groups: dict = {}
+    for (i, j, jp, di) in route:
+        groups.setdefault(di, []).append((i * nj + j, jp))
     out = jnp.zeros((n_planes, cz, cy, cx), ae.dtype)
-    for (i, j, jp, (dx, dy, dz)) in route:
-        v = ae[i, j].reshape(ez, ey, ex)
-        out = out.at[jp, dz:dz + ez, dy:dy + ey, dx:dx + ex].add(v)
+    ae_f = ae.reshape(-1, ez, ey, ex)
+    for (dx, dy, dz) in sorted(groups):
+        pairs_g = sorted(groups[(dx, dy, dz)], key=lambda t: t[1])
+        dst = [p for (_, p) in pairs_g]
+        assert len(set(dst)) == len(dst), "planes not unique within group"
+        src = np.asarray([s for (s, _) in pairs_g])
+        v = ae_f[src]
+        out = out.at[
+            np.asarray(dst), dz:dz + ez, dy:dy + ey, dx:dx + ex
+        ].add(v, unique_indices=True, indices_are_sorted=True)
     out = out.reshape(n_planes, -1)
     return jnp.pad(out, ((0, 0), (0, sp - cx * cy * cz)))[None]
 

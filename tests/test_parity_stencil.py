@@ -317,9 +317,47 @@ def test_implicit_parity_solver_steps_match_interleaved():
     np.testing.assert_allclose(p_p, p_i, atol=5e-5)
     mi = np.asarray(packed_i)
     mp = np.asarray(packed_p)
-    np.testing.assert_allclose(mp[:5], mi[:5], atol=5e-5)   # monitors
-    assert mi[6] == mp[6]                                   # cg iters
-    assert mi[7] == mp[7]                                   # mom iters
+    # monitors (rtol covers the O(1) max_acc row: the grouped assembly
+    # sums elemental contributions in a different FP order)
+    np.testing.assert_allclose(mp[:5], mi[:5], atol=5e-5, rtol=2e-4)
+    # iteration counts: equal up to one unroll group / one BiCGStab
+    # iteration (FP-order noise at the residual-check boundary)
+    assert abs(float(mi[6]) - float(mp[6])) <= 4.0          # cg iters
+    assert abs(float(mi[7]) - float(mp[7])) <= 1.0          # mom iters
+
+
+def test_parity_assemble_conv_matches_per_pair_loop():
+    """The grouped (8 gather + 8 scatter-add) assembly equals the
+    literal one-DUS-per-(i,j)-pair reference."""
+    from cfd_with_cuda_tpu.solvers.implicit_gq import ImplicitGQSolver
+
+    deck = cavity_deck(4, viscosity=0.01, dt=0.01)
+    s = ImplicitGQSolver(
+        deck,
+        SolverConfig(
+            dtype_policy=DTypePolicy.F32, pressure_backend="pallas",
+            setup_cache="off", structured_layout="parity",
+        ),
+    )
+    rng = np.random.default_rng(3)
+    ne = int(np.prod(s.elem_dims))
+    ae = rng.standard_normal((27, 27, ne)).astype(np.float32)
+    n_planes = int(s.d["MKp"].shape[1])
+    got = np.asarray(ps.parity_assemble_conv(
+        jnp.asarray(ae), route=s.conv_route, n_planes=n_planes,
+        elem_dims=s.elem_dims, coarse_dims=s.coarse_dims, sp=s.sp_c,
+    ))
+    ex, ey, ez = s.elem_dims
+    cx, cy, cz = s.coarse_dims
+    ref = np.zeros((n_planes, cz, cy, cx), np.float32)
+    for (i, j, jp, (dx, dy, dz)) in s.conv_route:
+        ref[jp, dz:dz + ez, dy:dy + ey, dx:dx + ex] += (
+            ae[i, j].reshape(ez, ey, ex)
+        )
+    ref = np.pad(
+        ref.reshape(n_planes, -1), ((0, 0), (0, s.sp_c - cx * cy * cz))
+    )[None]
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-6)
 
 
 def test_implicit_parity_state_roundtrip():
