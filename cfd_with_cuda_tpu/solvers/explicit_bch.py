@@ -96,6 +96,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         "monitor_node_p", "bc_of_node", "use_mg", "mg_dims", "mg_radii",
         "mg_omegas", "_pallas_layout", "conv_oij",
         "layout", "sp_c", "k_pairs", "g_pairs", "mon_cls", "mon_q",
+        "conv_route",
     )
 
     # ------------------------------------------------------------------ setup
@@ -130,6 +131,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         self.g_pairs = None
         self.mon_cls = None
         self.mon_q = None
+        self.conv_route = None
 
         mesh = promote_hex_mesh(deck.conn, deck.coords)
         self.mesh = mesh
@@ -533,6 +535,18 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             self.mon_q = (
                 (mxyz[2] >> 1) * cy + (mxyz[1] >> 1)
             ) * cx + (mxyz[0] >> 1)
+            # (i,j) channel pair -> (plane, coarse offset) routing for
+            # the optional per-step assembled convection
+            # (conv_mode="assemble"): A(un) adds straight into K's
+            # concat-slot planes, making (K+A) ONE parity_apply per
+            # sub-iteration.  Unroutable only if K dropped a plane
+            # structurally (never for Q2 diffusion; guard anyway).
+            try:
+                self.conv_route = pstl.build_conv_assembly_route(
+                    self.local_off, self.k_pairs, (cx, cy, cz)
+                )
+            except ValueError:
+                self.conv_route = None
             # the step never touches the interleaved big tables: drop
             # them from HBM + the snapshot (~800 MB at NE27000)
             for key in ("K_vals", "G_win", "GT_win", "Z_win"):
@@ -772,16 +786,35 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             udotg = jnp.einsum("dke,djke->jke", u0_gq, d["gDSv"])
             ae = jnp.einsum("ki,ke,jke->ije", d["Sv"], d["gq"], udotg)
             if parity:
-                # matrix-free only: the concat-slot K table has no
-                # per-step assembly path (and matrix-free is the
-                # measured winner at the usual 2-3 sub-iterations)
-                def conv_apply(u_star):
-                    r1e = jnp.einsum("ije,dje->die", ae, gather(u_star))
-                    return pstl.parity_scatter_elem(
-                        r1e, self.elem_dims, self.coarse_dims, sp_c
+                if cfg.conv_mode == "assemble" and self.conv_route:
+                    # assemble A(un) ONCE per step into K's concat-slot
+                    # planes (grouped gather+scatter-add,
+                    # parity_assemble_conv — u.grad is component-
+                    # independent so one shared cw=1 table serves all 3
+                    # velocity channels): (K+A) is ONE parity_apply per
+                    # sub-iteration, no per-sub-iteration gather/einsum/
+                    # scatter traffic
+                    conv_p = pstl.parity_assemble_conv(
+                        ae, route=self.conv_route,
+                        n_planes=int(d["Kp"].shape[1]),
+                        elem_dims=self.elem_dims,
+                        coarse_dims=self.coarse_dims, sp=sp_c,
                     )
+                    ka_wc = d["Kp"] + conv_p
+                    ka_mul = lambda u: pstl.parity_apply(
+                        ka_wc, u, pairs=self.k_pairs, co=3
+                    )
+                else:
+                    # matrix-free (default): measured winner at 2-3
+                    # sub-iterations on the interleaved path; re-measure
+                    # vs "assemble" now that assembly is 16 ops
+                    def conv_apply(u_star):
+                        r1e = jnp.einsum("ije,dje->die", ae, gather(u_star))
+                        return pstl.parity_scatter_elem(
+                            r1e, self.elem_dims, self.coarse_dims, sp_c
+                        )
 
-                ka_mul = lambda u: k_mul(u) + conv_apply(u)
+                    ka_mul = lambda u: k_mul(u) + conv_apply(u)
             elif cfg.conv_mode == "assemble":
                 # scatter A_e into K's DIA rows -> (K+A) is ONE Pallas
                 # stencil apply per sub-iteration

@@ -326,6 +326,33 @@ def test_implicit_parity_solver_steps_match_interleaved():
     assert abs(float(mi[7]) - float(mp[7])) <= 1.0          # mom iters
 
 
+def test_explicit_parity_assembled_conv_matches_matrix_free():
+    """conv_mode='assemble' on the parity layout (A(un) added once per
+    step into K's concat-slot planes; (K+A) = one parity_apply per
+    sub-iteration) matches the matrix-free default to FP-order noise."""
+    import jax
+
+    deck = cavity_deck(4, viscosity=0.01, dt=0.001)
+    base = dict(
+        dtype_policy=DTypePolicy.F32, pressure_backend="pallas",
+        setup_cache="off", structured_layout="parity", steps_per_chunk=1,
+    )
+    s_mf = ExplicitBCHSolver(deck, SolverConfig(conv_mode="matrix-free", **base))
+    s_as = ExplicitBCHSolver(deck, SolverConfig(conv_mode="assemble", **base))
+    assert s_as.conv_route
+    fn_mf = jax.jit(s_mf._chunk_fn(1))
+    fn_as = jax.jit(s_as._chunk_fn(1))
+    st_mf = s_mf.initial_state()
+    st_as = s_as.initial_state()
+    for _ in range(3):
+        st_mf, _ = fn_mf(s_mf.d, st_mf)
+        st_as, _ = fn_as(s_as.d, st_as)
+    u0, p0 = s_mf.fields(st_mf)
+    u1, p1 = s_as.fields(st_as)
+    np.testing.assert_allclose(u1, u0, atol=5e-5)
+    np.testing.assert_allclose(p1, p0, atol=5e-5)
+
+
 def test_parity_assemble_conv_matches_per_pair_loop():
     """The grouped (8 gather + 8 scatter-add) assembly equals the
     literal one-DUS-per-(i,j)-pair reference."""
