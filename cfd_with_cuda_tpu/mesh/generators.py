@@ -17,7 +17,7 @@ from cfd_with_cuda_tpu.io.deck import Deck
 
 __all__ = [
     "clustered_axis", "cube_hex_mesh", "cavity_deck", "channel_deck",
-    "bfs_deck",
+    "bfs_deck", "kovasznay_deck",
 ]
 
 
@@ -301,6 +301,77 @@ def channel_deck(
         deck.inlet_profile = (
             inlet_profile, 1, 0, float(np.abs(inlet_velocity[0]))
         )
+    return deck
+
+
+def kovasznay_deck(
+    ne_x: int = 8,
+    ne_y: int = 12,
+    ne_z: int = 2,
+    *,
+    re: float = 40.0,
+    dt: float = 0.05,
+    t_final: float = 20.0,
+    max_iter: int = 4,
+    tolerance: float = 1e-3,
+    convergence: float = 1e-7,
+) -> Deck:
+    """Kovasznay-flow MMS deck: the exact steady NS solution
+    (``mesh.profiles.kovasznay_uv``) imposed as Dirichlet data on ALL
+    boundary faces of the box [-0.5, 1] x [-0.5, 1.5] x [0, 0.25]
+    (z-thin: the 2-D solution extends with w = 0, d/dz = 0).
+
+    Running any integrator to steady state must reproduce the exact
+    interior field to discretisation error — a full-NS manufactured-
+    solution test WITH convection active, which none of the reference's
+    benchmark decks provide (SURVEY.md section 4: the reference
+    validates by eyeballing benchmark-deck Tecplot output only).
+    """
+    lengths = (1.5, 2.0, 0.25)
+    coords, conn = cube_hex_mesh(
+        ne_x + 1, ne_y + 1, ne_z + 1, lengths=lengths
+    )
+    coords = coords + np.array([-0.5, -0.5, 0.0])
+    fb = _boundary_faces((ne_x, ne_y, ne_z))
+    faces = np.concatenate([fb[k] for k in sorted(fb)])
+    vel_faces = np.column_stack(
+        [faces, np.zeros(len(faces), dtype=np.int64)]
+    ).astype(np.int64)
+
+    # zero-pressure pin at the (x_max, y_max, z=0) corner — NOT the
+    # first corner: node id 0 means "no pin" in the reference's 1-based
+    # deck convention, which would leave the all-Neumann Z singular.
+    # The exact p there is known (p = (1 - exp(2 lam x)) / 2), so the
+    # pin only fixes the additive constant.
+    zp = int(np.argmin(((coords - np.array([1.0, 1.5, 0.0])) ** 2).sum(axis=1)))
+    assert zp > 0
+
+    deck = Deck(
+        dialect="fractional",
+        title=f"Kovasznay Re={re:g} {ne_x}x{ne_y}x{ne_z}",
+    )
+    deck.etype = 1
+    deck.ne = ne_x * ne_y * ne_z
+    deck.ncn = (ne_x + 1) * (ne_y + 1) * (ne_z + 1)
+    deck.nenv, deck.nenp, deck.ngp = 27, 8, 8
+    deck.alpha = 1.0
+    deck.dt = dt
+    deck.t_ini = 0.0
+    deck.t_final = t_final
+    deck.max_iter = max_iter
+    deck.tolerance = tolerance
+    deck.convergence_criteria = convergence
+    deck.density = 1.0
+    deck.viscosity = 1.0 / re
+    deck.coords = coords
+    deck.conn = conn
+    deck.bc_type = np.array([1.0])
+    deck.bc_str = np.array([[0.0, 0.0, 0.0]])
+    deck.bc_vel_faces = vel_faces
+    deck.zero_pressure_node = zp
+    deck.monitor_xyz = np.array([0.25, 0.5, lengths[2] / 2])
+    # full-vector exact-solution BC ("axis" slot carries Re)
+    deck.inlet_profile = ("kovasznay", 0, float(re), 1.0)
     return deck
 
 

@@ -17,7 +17,10 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["apply_inlet_profile", "duct_developed_profile", "duct_series_profile"]
+__all__ = [
+    "apply_inlet_profile", "duct_developed_profile", "duct_series_profile",
+    "kovasznay_uv",
+]
 
 
 def duct_developed_profile(eta: np.ndarray, zeta: np.ndarray) -> np.ndarray:
@@ -53,6 +56,27 @@ def duct_series_profile(eta: np.ndarray, zeta: np.ndarray, terms: int = 50) -> n
     return u / mean
 
 
+def kovasznay_uv(x: np.ndarray, y: np.ndarray, re: float) -> tuple[np.ndarray, np.ndarray]:
+    """EXACT steady Navier-Stokes solution of Kovasznay (1948): the
+    laminar wake behind a periodic array,
+
+        u = 1 - exp(lam x) cos(2 pi y)
+        v = (lam / 2 pi) exp(lam x) sin(2 pi y)
+        lam = Re/2 - sqrt(Re^2/4 + 4 pi^2)
+
+    (divergence-free, satisfies the full nonlinear NS with nu = 1/Re and
+    no forcing).  Extends trivially to 3-D with w = 0, d/dz = 0.  Used
+    as the manufactured-solution ground truth for the full-NS MMS test
+    (SURVEY.md section 4: the reference verifies only via benchmark
+    decks; the rebuild adds exact-solution validation with convection
+    active)."""
+    lam = re / 2.0 - np.sqrt(re * re / 4.0 + 4.0 * np.pi * np.pi)
+    ex = np.exp(lam * np.asarray(x, np.float64))
+    u = 1.0 - ex * np.cos(2.0 * np.pi * y)
+    v = lam / (2.0 * np.pi) * ex * np.sin(2.0 * np.pi * y)
+    return u, v
+
+
 _PROFILES = {
     "duct_developed": duct_developed_profile,
     "duct_series": duct_series_profile,
@@ -73,10 +97,19 @@ def apply_inlet_profile(deck, coords: np.ndarray, bc_of_node: np.ndarray,
     if spec is None:
         return bc_vel
     kind, bc_index, axis, scale = spec
-    fn = _PROFILES[kind]
     sel = bc_of_node == int(bc_index)
     if not sel.any():
         return bc_vel
+    if kind == "kovasznay":
+        # full-vector exact-solution BC at ABSOLUTE (x, y) node
+        # coordinates ("axis" slot carries Re); w = 0
+        u, v = kovasznay_uv(coords[sel, 0], coords[sel, 1], float(axis))
+        vals = np.zeros((int(sel.sum()), 3))
+        vals[:, 0] = float(scale) * u
+        vals[:, 1] = float(scale) * v
+        bc_vel[sel] = vals
+        return bc_vel
+    fn = _PROFILES[kind]
     cross = [a for a in range(3) if a != int(axis)]
     # normalise by the INLET PATCH's own extent (not the whole mesh):
     # identical for full-cross-section ducts, and correct when the inlet

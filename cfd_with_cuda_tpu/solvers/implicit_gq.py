@@ -71,7 +71,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         "local_off", "a_offsets", "a_zero_off", "z_radius", "g_radius",
         "gt_radius", "conv_oij", "_ell_shape", "_nnz",
         "s_pad", "pin_grid", "monitor_node", "monitor_node_p", "use_mg",
-        "mg_dims", "mg_radii", "mg_omegas", "_pallas_layout",
+        "mg_dims", "mg_radii", "mg_omegas", "_pallas_layout", "ppe_project",
         "layout", "sp_c", "a_pairs", "m_pairs", "g_pairs", "conv_route",
         "diag_planes", "mon_cls", "mon_q",
     )
@@ -174,6 +174,48 @@ class ImplicitGQSolver(ChunkedTimeLoop):
                 Z = (Dm @ Z @ Dm
                      + sps.diags(np.where(p_mask == 0.0, d0, 0.0))).tocsr()
                 Z.sort_indices()
+
+        # All-Neumann pressure problems with flow THROUGH the boundary
+        # (e.g. the Kovasznay MMS deck: every face Dirichlet with nonzero
+        # normal velocity): each step's PPE RHS carries a small
+        # inconsistent component along the constant null vector (discrete
+        # boundary-flux defect of the solved field), and CG must push it
+        # through the pinned near-null eigenvalue — it stalls at maxiter
+        # and the 2p^k - p^{k-1} extrapolation amplifies the junk into
+        # blow-up (the scipy-LU oracle instead shows a harmless linear
+        # |p| drift, velocities clean).  Gate: geometric thru-flow
+        # detection — any velocity-BC face whose mean BC velocity has a
+        # normal component.  Enclosed tangential-flow decks (cavity: lid
+        # moves along its own plane) measure exactly zero and keep the
+        # reference-exact behaviour; when detected, the RHS is
+        # mean-projected every solve.
+        self.ppe_project = False
+        if (
+            p_mask.min() == 1.0           # no outflow Dirichlet rows
+            and deck.bc_vel_faces is not None
+            and len(deck.bc_vel_faces)
+        ):
+            from cfd_with_cuda_tpu.fem.shape import (
+                HEX_FACE_ALL_NODES,
+                HEX_FACE_CORNERS,
+            )
+
+            fc = np.asarray(deck.bc_vel_faces, np.int64)
+            corners = deck.conn[
+                fc[:, 0][:, None], HEX_FACE_CORNERS[fc[:, 1]]
+            ]
+            c = mesh.coords[corners]                     # (nf, 4, 3)
+            nrm = np.cross(c[:, 1] - c[:, 0], c[:, 2] - c[:, 0])
+            nn_ = np.linalg.norm(nrm, axis=1, keepdims=True)
+            nrm = nrm / np.maximum(nn_, 1e-300)
+            # probe the MID-FACE node (HEX_FACE_ALL_NODES[:, 8]): it
+            # belongs to exactly one boundary face, so the sequential
+            # corner-node BC overwrite (lid value leaking onto side-wall
+            # faces at shared edges) cannot fake a normal component
+            mid = mesh.ltog_node[fc[:, 0], HEX_FACE_ALL_NODES[fc[:, 1], 8]]
+            thru = float(np.abs((bc_vel[mid] * nrm).sum(axis=1)).max())
+            umax = float(np.abs(bc_vel).max()) or 1.0
+            self.ppe_project = thru > 1e-9 * umax
 
         pat = ops.pattern_m
         mk_vals = ops.M + ops.K          # M/dt + K CSR values (:3921-3923)
@@ -472,8 +514,21 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         # Skipped under "auto" when the fused Pallas path is active: that
         # path is Jacobi-only and the hierarchy would be dead setup time
         # + HBM (an explicit "mg" disables the fused path, utils/config.py).
+        # Also requires a NONSINGULAR Z (pin or outflow Dirichlet rows):
+        # the Galerkin coarse solve of the unpinned all-Neumann Laplacian
+        # inverts a singular matrix and the V-cycle returns garbage —
+        # Jacobi handles the singular-consistent case instead.
+        z_regular = self.pin > 0 or float(np.min(p_mask)) == 0.0
+        if self.config.pressure_precond == "mg" and not z_regular:
+            raise ValueError(
+                "pressure_precond='mg' needs a nonsingular Z (a pressure "
+                "pin node > 0 or outflow Dirichlet rows); this deck's "
+                "all-Neumann Z is singular"
+            )
         if self.config.pressure_precond == "mg" or (
-            self.config.pressure_precond == "auto" and not self._pallas_layout
+            self.config.pressure_precond == "auto"
+            and not self._pallas_layout
+            and z_regular
         ):
             from cfd_with_cuda_tpu.ops.multigrid import build_mg_hierarchy
 
@@ -685,6 +740,10 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         # ---- step2: fused pressure CG on the coarse grid (unchanged —
         # the pressure grid IS class 0)
         r2 = (-1.0 / dt) * div(uk) * d["p_mask"]
+        if self.ppe_project:
+            # all-Neumann + boundary thru-flow: remove the null-space
+            # (constant) component the discrete BC flux defect injects
+            r2 = r2 - jnp.mean(r2)
         if self.pin_grid > 0:
             r2 = r2.at[self.pin_grid].set(0.0)
         pdiff0 = (pk_prev - pk_prevprev) if warm else None
@@ -700,7 +759,13 @@ class ImplicitGQSolver(ChunkedTimeLoop):
                 else "plain"
             ),
         )
-        pk = pk_prev + sol.x
+        pdiff = sol.x
+        if self.ppe_project:
+            # singular all-Neumann solve: pick the mean-zero
+            # representative so the arbitrary pressure level cannot
+            # drift across steps (f32: G @ (large const) leaks noise)
+            pdiff = pdiff - jnp.mean(pdiff)
+        pk = pk_prev + pdiff
 
         max_acc = jnp.max(jnp.abs(uk - uk_prev)) / dt
         probe = lambda a, c_: a[c_, self.mon_cls, self.mon_q]
@@ -861,6 +926,10 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         uk = mom.x
 
         r2 = (-1.0 / dt) * div(uk) * d["p_mask"]
+        if self.ppe_project:
+            # all-Neumann + boundary thru-flow: remove the null-space
+            # (constant) component the discrete BC flux defect injects
+            r2 = r2 - jnp.mean(r2)
         if self.pin_grid > 0:
             r2 = r2.at[self.pin_grid].set(0.0)
         pdiff0 = (pk_prev - pk_prevprev) if warm else None
@@ -920,7 +989,13 @@ class ImplicitGQSolver(ChunkedTimeLoop):
                 dot_dtype=cfg.krylov_dot_dtype(),
                 precond=precond,
             )
-        pk = pk_prev + sol.x
+        pdiff = sol.x
+        if self.ppe_project:
+            # singular all-Neumann solve: pick the mean-zero
+            # representative so the arbitrary pressure level cannot
+            # drift across steps (f32: G @ (large const) leaks noise)
+            pdiff = pdiff - jnp.mean(pdiff)
+        pk = pk_prev + pdiff
 
         max_acc = jnp.max(jnp.abs(uk - uk_prev)) / dt
         mon = self.monitor_node
@@ -980,6 +1055,8 @@ class ImplicitGQSolver(ChunkedTimeLoop):
 
         # ---- step2: R2 = -(1/dt) G^T u^k  (:4096-4127)
         r2 = (-1.0 / dt) * div_apply(d["GT_vals"], d["GT_cols"], uk) * d["p_mask"]
+        if self.ppe_project:
+            r2 = r2 - jnp.mean(r2)
         if self.pin > 0:
             r2 = r2.at[self.pin].set(0.0)
         # CG on the (negative-definite) direct Z — sign-consistent, like the
@@ -994,7 +1071,10 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             dot_dtype=cfg.krylov_dot_dtype(),
             precond=lambda r: r / d["Z_diag"],
         )
-        pk = pk_prev + sol.x                                 # (:4162-4165)
+        pdiff = sol.x
+        if self.ppe_project:
+            pdiff = pdiff - jnp.mean(pdiff)
+        pk = pk_prev + pdiff                                 # (:4162-4165)
 
         # ---- steady check.  NOTE deliberate divergence: the reference
         # implicit solver assigns maxAcc *signed* (:3347-3353, a bug — the

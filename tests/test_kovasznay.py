@@ -1,0 +1,114 @@
+"""Full-NS manufactured-solution (MMS) validation: Kovasznay flow.
+
+The exact steady Navier-Stokes solution of Kovasznay (1948) — with
+CONVECTION active, unlike the duct regression where the exact solution's
+advection term vanishes — imposed as Dirichlet data on every face of a
+z-thin box; both fractional-step integrators must relax to the exact
+interior field to discretisation error.
+
+This is the test modality SURVEY.md section 4 calls for ("MMS for
+diffusion and full NS"): the reference itself validates only by
+eyeballing benchmark-deck Tecplot output (`blascoCodinaHuerta.cpp`
+monitor prints), with no exact-solution check anywhere.
+
+The deck also exercises boundary THRU-flow, which enclosed cavities
+never do: the all-Neumann pressure solve sees a nonzero normal BC
+velocity (`ImplicitGQSolver.ppe_project` hygiene: RHS/solution mean
+projection, MG skipped on a singular Z).
+"""
+
+import numpy as np
+import pytest
+
+from cfd_with_cuda_tpu.mesh.generators import cavity_deck, kovasznay_deck
+from cfd_with_cuda_tpu.mesh.profiles import kovasznay_uv
+from cfd_with_cuda_tpu.solvers.explicit_bch import ExplicitBCHSolver
+from cfd_with_cuda_tpu.solvers.implicit_gq import ImplicitGQSolver
+from cfd_with_cuda_tpu.utils.config import DTypePolicy, SolverConfig
+
+
+def _errors(solver, state, re):
+    u, p = solver.fields(state)
+    coords = solver.mesh.coords
+    ue, ve = kovasznay_uv(coords[:, 0], coords[:, 1], re)
+    rel_u = np.linalg.norm(u[:, 0] - ue) / np.linalg.norm(ue)
+    rel_v = np.linalg.norm(u[:, 1] - ve) / np.linalg.norm(ve)
+    return rel_u, rel_v, np.abs(u[:, 2]).max(), np.abs(p).max()
+
+
+def test_kovasznay_exact_solution_properties():
+    """The imposed BC field is the exact solution: divergence-free and
+    satisfying steady NS (residual check on a fine analytic grid)."""
+    re = 40.0
+    lam = re / 2.0 - np.sqrt(re * re / 4.0 + 4.0 * np.pi**2)
+    x = np.linspace(-0.4, 0.9, 41)
+    y = np.linspace(-0.4, 1.4, 41)
+    X, Y = np.meshgrid(x, y)
+    u, v = kovasznay_uv(X, Y, re)
+    ex = np.exp(lam * X)
+    # analytic derivatives
+    ux = -lam * ex * np.cos(2 * np.pi * Y)
+    vy = lam * ex * np.cos(2 * np.pi * Y)
+    np.testing.assert_allclose(ux + vy, 0.0, atol=1e-12)          # div-free
+    # x-momentum: u u_x + v u_y + p_x - nu (u_xx + u_yy) = 0 with
+    # p = (1 - exp(2 lam x)) / 2
+    uy = 2 * np.pi * ex * np.sin(2 * np.pi * Y)
+    uxx = -lam * lam * ex * np.cos(2 * np.pi * Y)
+    uyy = 4 * np.pi**2 * ex * np.cos(2 * np.pi * Y)
+    px = -lam * np.exp(2 * lam * X)
+    res = u * ux + v * uy + px - (1.0 / re) * (uxx + uyy)
+    np.testing.assert_allclose(res, 0.0, atol=1e-10)
+
+
+def test_thru_flow_gate():
+    """Projection hygiene triggers on the thru-flow deck, stays OFF on
+    the enclosed cavity (the lid's tangential motion must not count,
+    even though corner-node BC overwrite leaks the lid value onto
+    side-wall faces)."""
+    cfg = SolverConfig(dtype_policy=DTypePolicy.F32, setup_cache="off")
+    s_cav = ImplicitGQSolver(cavity_deck(3, viscosity=0.01, dt=0.01), cfg)
+    assert not s_cav.ppe_project
+    s_kov = ImplicitGQSolver(
+        kovasznay_deck(4, 6, 2),
+        SolverConfig(dtype_policy=DTypePolicy.F32, setup_cache="off"),
+    )
+    assert s_kov.ppe_project
+    assert s_kov.pin > 0          # node 0 would mean "no pin" (1-based ref)
+
+
+def test_implicit_kovasznay_matches_exact():
+    re = 40.0
+    deck = kovasznay_deck(6, 8, 2, re=re, dt=0.02)
+    s = ImplicitGQSolver(
+        deck,
+        SolverConfig(
+            dtype_policy=DTypePolicy.F32, setup_cache="off",
+            steps_per_chunk=25, pressure_cg_tol=1e-6,
+        ),
+    )
+    state, hist = s.run(n_steps=500)
+    assert hist[-1]["max_acc"] < 1e-3          # reached steady
+    rel_u, rel_v, wmax, pmax = _errors(s, state, re)
+    assert rel_u < 0.01, rel_u                 # measured 0.0026
+    assert rel_v < 0.02, rel_v                 # measured 0.0088
+    assert wmax < 0.01, wmax
+    assert pmax < 5.0, pmax                    # level bounded (no drift)
+
+
+@pytest.mark.slow
+def test_explicit_kovasznay_matches_exact():
+    re = 40.0
+    deck = kovasznay_deck(6, 8, 2, re=re, dt=0.004)
+    s = ExplicitBCHSolver(
+        deck,
+        SolverConfig(
+            dtype_policy=DTypePolicy.F32, setup_cache="off",
+            steps_per_chunk=50, pressure_cg_tol=1e-6,
+        ),
+    )
+    state, hist = s.run(n_steps=2500)
+    rel_u, rel_v, wmax, pmax = _errors(s, state, re)
+    assert rel_u < 0.01, rel_u                 # measured 0.0026
+    assert rel_v < 0.02, rel_v                 # measured 0.0093
+    assert wmax < 0.02, wmax
+    assert pmax < 5.0, pmax
