@@ -17,7 +17,7 @@ from cfd_with_cuda_tpu.io.deck import Deck
 
 __all__ = [
     "clustered_axis", "cube_hex_mesh", "cavity_deck", "channel_deck",
-    "bfs_deck", "kovasznay_deck",
+    "bfs_deck", "kovasznay_deck", "kovasznay_legacy_deck",
 ]
 
 
@@ -223,6 +223,64 @@ def cavity_legacy_deck(
     deck.bc_pres_nodes = np.array([[0, 2]], dtype=np.int64)
     deck.zero_pressure_node = 0
     deck.monitor_xyz = np.array([0.5, 0.5, 0.5])
+    return deck
+
+
+def kovasznay_legacy_deck(
+    ne_x: int = 8,
+    ne_y: int = 12,
+    ne_z: int = 2,
+    *,
+    re: float = 40.0,
+    max_iter: int = 50,
+    tolerance: float = 1e-6,
+    solver_iter_max: int = 2000,
+    solver_tol: float = 1e-10,
+) -> Deck:
+    """Legacy-dialect Kovasznay MMS deck (equal-order 8-node hexes) for
+    the STEADY legacy solvers (monolithic GLS, segregated Horoutunian):
+    the exact steady NS solution is their ideal validation — same
+    geometry/BCs as :func:`kovasznay_deck`, node-based BC tables."""
+    lengths = (1.5, 2.0, 0.25)
+    coords, conn = cube_hex_mesh(
+        ne_x + 1, ne_y + 1, ne_z + 1, lengths=lengths
+    )
+    coords = coords + np.array([-0.5, -0.5, 0.0])
+    eps = 1e-9
+    on_bnd = (
+        (coords[:, 0] < -0.5 + eps) | (coords[:, 0] > 1.0 - eps)
+        | (coords[:, 1] < -0.5 + eps) | (coords[:, 1] > 1.5 - eps)
+        | (coords[:, 2] < eps) | (coords[:, 2] > lengths[2] - eps)
+    )
+    nodes = np.flatnonzero(on_bnd)
+
+    deck = Deck(
+        dialect="legacy",
+        title=f"Kovasznay legacy Re={re:g} {ne_x}x{ne_y}x{ne_z}",
+    )
+    deck.etype = 3
+    deck.ne = ne_x * ne_y * ne_z
+    deck.ncn = deck.nn = (ne_x + 1) * (ne_y + 1) * (ne_z + 1)
+    deck.nenv = deck.nenp = 8
+    deck.ngp = 8
+    deck.max_iter = max_iter
+    deck.tolerance = tolerance
+    deck.solver_iter_max = solver_iter_max
+    deck.solver_tol = solver_tol
+    deck.density = 1.0
+    deck.viscosity = 1.0 / re
+    deck.coords = coords
+    deck.conn = conn
+    deck.bc_type = np.array([1.0, 0.0])
+    deck.bc_str = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]])
+    deck.bc_vel_nodes = np.column_stack(
+        [nodes, np.zeros(len(nodes), dtype=np.int64)]
+    )
+    zp = int(np.argmin(((coords - np.array([1.0, 1.5, 0.0])) ** 2).sum(axis=1)))
+    deck.bc_pres_nodes = np.array([[zp, 1]], dtype=np.int64)
+    deck.zero_pressure_node = zp
+    deck.monitor_xyz = np.array([0.25, 0.5, lengths[2] / 2])
+    deck.inlet_profile = ("kovasznay", 0, float(re), 1.0)
     return deck
 
 

@@ -90,6 +90,12 @@ class _MonolithicBase:
         self.vel_vals = (
             deck.bc_str[vn[:, 1], :3] if len(vn) else np.empty((0, 3))
         )
+        if len(vn):
+            from cfd_with_cuda_tpu.mesh.profiles import apply_node_bc_profile
+
+            self.vel_vals = apply_node_bc_profile(
+                deck, deck.coords, vn, self.vel_vals
+            )
         pn = deck.bc_pres_nodes
         self.pres_nodes = pn[:, 0] if len(pn) else np.empty(0, np.int64)
         # the legacy deck's pressure BC value is BCstr[...,0] (usually 0)

@@ -106,6 +106,12 @@ class SegregatedSolver:
         vn = deck.bc_vel_nodes
         self.vel_nodes = vn[:, 0] if len(vn) else np.empty(0, np.int64)
         self.vel_vals = deck.bc_str[vn[:, 1], :3] if len(vn) else np.empty((0, 3))
+        if len(vn):
+            from cfd_with_cuda_tpu.mesh.profiles import apply_node_bc_profile
+
+            self.vel_vals = apply_node_bc_profile(
+                deck, deck.coords, vn, self.vel_vals
+            )
         pn = deck.bc_pres_nodes
         self.pres_nodes = pn[:, 0] if len(pn) else np.empty(0, np.int64)
         self.pres_vals = deck.bc_str[pn[:, 1], 0] if len(pn) else np.empty(0)
