@@ -223,6 +223,18 @@ def _read_fractional(lines: list[str], fields: dict[str, str]) -> Deck:
     i = _find_line(lines, r"Monitor point", i)
     mon, i = _tokens_after(lines, i + 1, 1, 3)
     d.monitor_xyz = mon[0]
+
+    # OPTIONAL trailing extension (written by write_fractional_deck for
+    # generated profile decks; the reference's reader stops at the
+    # monitor point, so its decks never carry it and it never sees it):
+    #   inletProfile : <kind> <bc_index> <param> <scale>
+    for line in lines[i:]:
+        if line.strip().startswith("inletProfile"):
+            toks = line.split(":", 1)[1].split()
+            d.inlet_profile = (
+                toks[0], int(toks[1]), float(toks[2]), float(toks[3])
+            )
+            break
     return d
 
 
@@ -407,5 +419,12 @@ def write_fractional_deck(path: str | Path, deck: Deck) -> None:
     out.append("Monitor point coordinates")
     mx = deck.monitor_xyz if deck.monitor_xyz is not None else (0.5, 0.5, 0.5)
     out.append(f"{mx[0]}  {mx[1]}  {mx[2]}")
+    if deck.inlet_profile is not None:
+        # extension section AFTER everything the reference reads (its
+        # reader stops at the monitor point, so reference compatibility
+        # is preserved); round-tripped by _read_fractional
+        kind, bc_index, param, scale = deck.inlet_profile
+        out.append("=" * 48)
+        out.append(f"inletProfile : {kind} {int(bc_index)} {param} {scale}")
     out.append("")
     p.write_text("\n".join(out))

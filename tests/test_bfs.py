@@ -107,3 +107,12 @@ def test_bfs_deck_write_read_roundtrip(tmp_path):
     np.testing.assert_array_equal(back.bc_out_faces, deck.bc_out_faces)
     assert back.zero_pressure_node == deck.zero_pressure_node
     np.testing.assert_allclose(back.monitor_xyz, deck.monitor_xyz)
+    # the profile must survive too (silently dropping it would change
+    # the physics of a round-tripped deck)
+    assert back.inlet_profile is not None
+    assert back.inlet_profile[0] == deck.inlet_profile[0]
+    assert back.inlet_profile[1] == deck.inlet_profile[1]
+    np.testing.assert_allclose(
+        [float(v) for v in back.inlet_profile[2:]],
+        [float(v) for v in deck.inlet_profile[2:]],
+    )

@@ -76,6 +76,25 @@ def test_thru_flow_gate():
     assert s_kov.pin > 0          # node 0 would mean "no pin" (1-based ref)
 
 
+def test_kovasznay_deck_write_read_roundtrip(tmp_path):
+    """The profile extension section survives the .inp round trip AND
+    produces the identical solver (same bc_vel table, same gate)."""
+    from cfd_with_cuda_tpu.io.deck import read_deck, write_fractional_deck
+
+    deck = kovasznay_deck(4, 6, 2, re=40.0)
+    path = tmp_path / "kov.inp"
+    write_fractional_deck(path, deck)
+    back = read_deck(path)
+    assert back.inlet_profile == ("kovasznay", 0, 40.0, 1.0)
+    cfg = SolverConfig(dtype_policy=DTypePolicy.F32, setup_cache="off")
+    s0 = ImplicitGQSolver(deck, cfg)
+    s1 = ImplicitGQSolver(back, cfg)
+    assert s1.ppe_project and s0.ppe_project
+    np.testing.assert_allclose(
+        np.asarray(s1.d["bc_vel"]), np.asarray(s0.d["bc_vel"]), atol=1e-6
+    )
+
+
 def test_implicit_kovasznay_matches_exact():
     re = 40.0
     deck = kovasznay_deck(6, 8, 2, re=re, dt=0.02)
