@@ -115,6 +115,30 @@ def test_implicit_kovasznay_matches_exact():
 
 
 @pytest.mark.slow
+def test_implicit_kovasznay_h_convergence():
+    """Halving h must shrink the steady velocity error by well over 2x
+    (Q2 velocity elements: asymptotically ~8x in L2; the coarse pair
+    measured here sits on the preasymptotic side of that)."""
+    re = 40.0
+    errs = []
+    for (nx, ny, nz) in ((4, 6, 2), (8, 12, 4)):
+        deck = kovasznay_deck(nx, ny, nz, re=re, dt=0.02)
+        s = ImplicitGQSolver(
+            deck,
+            SolverConfig(
+                dtype_policy=DTypePolicy.F32, setup_cache="off",
+                steps_per_chunk=25, pressure_cg_tol=1e-6,
+            ),
+        )
+        state, hist = s.run(n_steps=600)
+        assert hist[-1]["max_acc"] < 5e-3
+        rel_u, rel_v, _, _ = _errors(s, state, re)
+        errs.append((rel_u, rel_v))
+    assert errs[1][0] < errs[0][0] / 2.5, errs
+    assert errs[1][1] < errs[0][1] / 2.5, errs
+
+
+@pytest.mark.slow
 def test_gls_monolithic_kovasznay_matches_exact():
     """The steady monolithic GLS solver (legacy equal-order Q1 family)
     against the exact solution via the node-based-BC profile hook.

@@ -322,8 +322,8 @@ def test_implicit_parity_solver_steps_match_interleaved():
     np.testing.assert_allclose(mp[:5], mi[:5], atol=5e-5, rtol=2e-4)
     # iteration counts: equal up to one unroll group / one BiCGStab
     # iteration (FP-order noise at the residual-check boundary)
-    assert abs(float(mi[6]) - float(mp[6])) <= 4.0          # cg iters
-    assert abs(float(mi[7]) - float(mp[7])) <= 1.0          # mom iters
+    assert abs(float(mi[6].ravel()[0]) - float(mp[6].ravel()[0])) <= 4.0
+    assert abs(float(mi[7].ravel()[0]) - float(mp[7].ravel()[0])) <= 1.0
 
 
 def test_explicit_parity_assembled_conv_matches_matrix_free():
