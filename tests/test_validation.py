@@ -78,6 +78,7 @@ def test_stored_re100_explicit_documented_behavior():
     assert doc.exists() and "limit cycle" in doc.read_text()
 
 
+@pytest.mark.slow  # ~8 min on the 1-core CPU host (600-step run)
 def test_cavity_smoke_physics():
     """600 coarse-mesh steps: lid drives +x flow near the top, return flow
     below the center, w down near the right wall — the cavity vortex is
