@@ -434,3 +434,35 @@ def test_parity_elem_gather_scatter_match(solver):
     np.testing.assert_allclose(
         np.asarray(back), np.asarray(ref_s)[:, :S], atol=1e-5
     )
+
+
+def test_implicit_parity_mixed_policy_matches_f32():
+    """DTypePolicy.MIXED (f32 state + f64/compensated Krylov reductions)
+    on the implicit parity path: runs, stays finite, and tracks the F32
+    run to reduction-precision level."""
+    import jax
+
+    from cfd_with_cuda_tpu.solvers.implicit_gq import ImplicitGQSolver
+
+    deck = cavity_deck(4, viscosity=0.01, dt=0.01)
+    outs = {}
+    for pol in (DTypePolicy.F32, DTypePolicy.MIXED):
+        s = ImplicitGQSolver(
+            deck,
+            SolverConfig(
+                dtype_policy=pol, pressure_backend="pallas",
+                setup_cache="off", structured_layout="parity",
+                steps_per_chunk=2,
+            ),
+        )
+        assert s.layout == "parity"
+        fn = jax.jit(s._chunk_fn(2))
+        st = s.initial_state()
+        for _ in range(2):
+            st, _ = fn(s.d, st)
+        outs[pol] = s.fields(st)
+    u32, p32 = outs[DTypePolicy.F32]
+    umx, pmx = outs[DTypePolicy.MIXED]
+    assert np.isfinite(umx).all() and np.isfinite(pmx).all()
+    np.testing.assert_allclose(umx, u32, atol=5e-5)
+    np.testing.assert_allclose(pmx, p32, atol=5e-4)

@@ -207,3 +207,52 @@ def test_sharded_unstructured_ell_implicit_matches_single_device():
     np.testing.assert_allclose(np.asarray(s2.uk), np.asarray(ss.uk), atol=1e-7)
     np.testing.assert_allclose(np.asarray(s2.pk), np.asarray(ss.pk), atol=1e-7)
     assert float(st2.u_mon[0]) == pytest.approx(float(st2s.u_mon[0]), abs=1e-7)
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
+)
+def test_sharded_thru_flow_projection_matches_single_device():
+    """Boundary THRU-flow deck (Kovasznay MMS): the all-Neumann PPE
+    hygiene — geometric thru-flow gate + RHS/solution mean projection
+    (jnp.mean under GSPMD lowers to a psum) — must reproduce the
+    single-device step when sharded."""
+    from cfd_with_cuda_tpu.mesh.generators import kovasznay_deck
+    from cfd_with_cuda_tpu.parallel.sharding import (
+        make_mesh,
+        shard_params,
+        shard_state,
+    )
+    from cfd_with_cuda_tpu.solvers.base import unpack_chunk_stats
+    from cfd_with_cuda_tpu.solvers.implicit_gq import ImplicitGQSolver
+    from cfd_with_cuda_tpu.utils.config import DTypePolicy, SolverConfig
+
+    deck = kovasznay_deck(4, 4, 2, re=40.0, dt=0.02)
+    cfg = SolverConfig(
+        dtype_policy=DTypePolicy.F64, pressure_cg_tol=1e-10,
+        steps_per_chunk=1, shard_pad=8,
+    )
+    solver = ImplicitGQSolver(deck, cfg)
+    assert solver.ppe_project
+    fn = jax.jit(solver._chunk_fn(1))
+
+    s1, _ = fn(solver.d, solver.initial_state())
+    s2, packed = fn(solver.d, s1)
+    st2, _ = unpack_chunk_stats(packed)
+
+    mesh = make_mesh(8)
+    big = (solver.s_pad, int(solver.d["gq"].shape[-1])) if "gq" in solver.d \
+        else (solver.s_pad,)
+    params = shard_params(solver.d, mesh, big)
+    ss = shard_state(solver.initial_state(), mesh, big)
+    ss, _ = fn(params, ss)
+    ss, packed_s = fn(params, ss)
+    st2s, _ = unpack_chunk_stats(packed_s)
+
+    np.testing.assert_allclose(
+        np.asarray(s2.uk), np.asarray(ss.uk), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(s2.pk), np.asarray(ss.pk), atol=1e-8
+    )
+    assert float(st2.u_mon[0]) == pytest.approx(float(st2s.u_mon[0]), abs=1e-11)
