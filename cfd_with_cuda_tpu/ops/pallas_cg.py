@@ -51,7 +51,8 @@ KP = 16             # weight planes per DMA block (~2 MB at 31^3)
 _DIV_FLOOR = 1e-35  # matches ops.krylov._DIV_FLOOR
 
 
-def cg_weight_layout(win: np.ndarray, dims, radius: int) -> np.ndarray:
+def cg_weight_layout(win: np.ndarray, dims, radius: int,
+                     sym: bool = False) -> np.ndarray:
     """Pre-pad window weights to the kernel's DMA-block layout
     ``(nb, KP, s_pad)`` on the host at setup time.
 
@@ -61,12 +62,41 @@ def cg_weight_layout(win: np.ndarray, dims, radius: int) -> np.ndarray:
     sits under two ``lax.while_loop`` nests, where XLA does not hoist
     it) — measured ~9 ms per pressure solve at NE27000, ~25x the whole
     rest of the step.
+
+    ``sym=True`` keeps only the dq >= 0 half of a SYMMETRIC operator
+    (verified here): the kernel applies each positive-offset weight in
+    both directions, halving the dominant per-iteration HBM stream
+    (125 -> 63 slots for the radius-2 product Z).  Pair with
+    ``fused_cg(..., sym=True)``.
     """
     w = 2 * radius + 1
     w3 = w * w * w
     s = int(np.prod(dims))
     assert win.shape == (w3, s), (win.shape, (w3, s))
     s_pad = _round_up(s, 128)
+    if sym:
+        win = np.asarray(win)
+        c = w3 // 2
+        sx, sy, _ = dims
+        offs = [
+            dz * sx * sy + dy * sx + dx
+            for dz in range(-radius, radius + 1)
+            for dy in range(-radius, radius + 1)
+            for dx in range(-radius, radius + 1)
+        ]
+        for m in range(1, c + 1):
+            dq = offs[c + m]
+            # win[c-m][q] = Z[q, q-dq] must equal win[c+m][q-dq]
+            if not np.allclose(
+                win[c - m, dq:], win[c + m, : s - dq],
+                rtol=1e-6, atol=1e-8,
+            ):
+                raise ValueError(
+                    f"operator not symmetric at offset {dq}; "
+                    "sym weight layout needs a symmetric window"
+                )
+        win = win[c:]
+        w3 = win.shape[0]
     nb = _round_up(w3, KP) // KP
     out = np.zeros((nb * KP, s_pad), win.dtype)
     out[:w3, :s] = win
@@ -171,14 +201,38 @@ def _plain_dot(a, b):
     return jnp.sum(a * b)
 
 
+def _acc_slot(ap, w, x_ref, dq, halo, s_pad, sym):
+    """Accumulate one streamed weight slot into ``ap``.
+
+    Full mode: ``ap[q] += w[q] * x[q + dq]``.  Symmetric mode (``sym``,
+    dq > 0): additionally ``ap[q + dq] += w[q] * x[q]`` — as a value op,
+    a right-shift of the product by ``dq`` lanes (static), so each
+    positive-offset weight is applied in both directions and the
+    negative half of the window never leaves HBM.
+    """
+    ap = ap + w * x_ref[:, pl.ds(halo + dq, s_pad)]
+    if sym and dq > 0:
+        prod = w * x_ref[:, pl.ds(halo, s_pad)]
+        ap = ap + jnp.concatenate(
+            [jnp.zeros((1, dq), prod.dtype), prod[:, : s_pad - dq]],
+            axis=1,
+        )
+    return ap
+
+
 def _cg_iter_kernel(
     win_ref, x_ref, r_ref, pext_ref, dinv_ref, rz_ref,
     xo_ref, ro_ref, pexto_ref, rzo_ref, rno_ref,
     wbuf, sem,
     *, offs: tuple[int, ...], halo: int, s_pad: int, nb: int,
-    comp: bool = False,
+    comp: bool = False, sym: bool = False,
 ):
-    """One full CG iteration; win streamed HBM->VMEM double-buffered."""
+    """One full CG iteration; win streamed HBM->VMEM double-buffered.
+
+    ``offs`` are the STREAMED slot offsets: the full window, or the
+    dq >= 0 half when ``sym`` (each positive offset applied in both
+    directions — see :func:`_acc_slot` / ``cg_weight_layout(sym=True)``).
+    """
     w3 = len(offs)
     dot = _comp_dot if comp else _plain_dot
 
@@ -200,9 +254,9 @@ def _cg_iter_kernel(
             idx = b * KP + j
             if idx >= w3:
                 break
-            ap = ap + (
-                wbuf[b % 2, j, :][None, :]
-                * pext_ref[:, pl.ds(halo + offs[idx], s_pad)]
+            ap = _acc_slot(
+                ap, wbuf[b % 2, j, :][None, :], pext_ref,
+                offs[idx], halo, s_pad, sym,
             )
 
     p = pext_ref[:, pl.ds(halo, s_pad)]
@@ -227,7 +281,7 @@ def _cg_init_kernel(
     xo_ref, ro_ref, pexto_ref, rzo_ref, rno_ref, bno_ref,
     x0ext_buf, wbuf, sem,
     *, offs: tuple[int, ...], halo: int, s_pad: int, nb: int, warm: bool,
-    comp: bool = False,
+    comp: bool = False, sym: bool = False,
 ):
     """CG init (r0 = b - A x0, z0 = r0*dinv, p_ext0, rz0, rn0, ||b||) as
     ONE pallas_call: profiling showed the equivalent XLA op chain costs
@@ -258,9 +312,9 @@ def _cg_init_kernel(
                 idx = blk * KP + j
                 if idx >= w3:
                     break
-                ax = ax + (
-                    wbuf[blk % 2, j, :][None, :]
-                    * x0ext_buf[:, pl.ds(halo + offs[idx], s_pad)]
+                ax = _acc_slot(
+                    ax, wbuf[blk % 2, j, :][None, :], x0ext_buf,
+                    offs[idx], halo, s_pad, sym,
                 )
         r0 = b - ax
         xo_ref[:] = x0_ref[:]
@@ -281,12 +335,12 @@ def _cg_init_kernel(
     jax.jit,
     static_argnames=(
         "dims", "radius", "tol", "maxiter", "unroll", "_skip_loop",
-        "dot_mode",
+        "dot_mode", "sym",
     ),
 )
 def fused_cg(
     win, b, dinv, *, dims, radius, tol, maxiter, x0=None, unroll=1,
-    _skip_loop=False, dot_mode="plain",
+    _skip_loop=False, dot_mode="plain", sym=False,
 ):
     """Jacobi-preconditioned CG on a windowed stencil operator.
 
@@ -320,17 +374,25 @@ def fused_cg(
     halo = -offs[0]
     s_pad = _round_up(s, 128)
     s_ext = _round_up(s_pad + 2 * halo, 128)
+    if sym:
+        # stream only the dq >= 0 half of the symmetric window; each
+        # positive offset applied both ways in-kernel (_acc_slot)
+        offs = offs[w3 // 2:]
+        w3 = len(offs)
     nb = _round_up(w3, KP) // KP
 
     if win.ndim == 3:
         # already in the (nb, KP, s_pad) DMA-block layout
-        # (cg_weight_layout, done once on the host at setup)
+        # (cg_weight_layout(sym=sym), done once on the host at setup)
         assert win.shape == (nb, KP, s_pad), (win.shape, (nb, KP, s_pad))
         win_p = win
     else:
-        assert win.shape == (w3, s), (win.shape, (w3, s))
+        # (w3, s) raw window: full table expected; take the half here
+        assert win.shape[-1] == s, (win.shape, s)
+        win_half = win[-w3:] if sym else win
+        assert win_half.shape == (w3, s), (win_half.shape, (w3, s))
         win_p = jnp.zeros((nb * KP, s_pad), dtype)
-        win_p = win_p.at[:w3, :s].set(win)
+        win_p = win_p.at[:w3, :s].set(win_half)
         win_p = win_p.reshape(nb, KP, s_pad)
 
     def pad1(v):
@@ -347,7 +409,7 @@ def fused_cg(
     comp = dot_mode == "compensated"
     kernel = functools.partial(
         _cg_iter_kernel, offs=offs, halo=halo, s_pad=s_pad, nb=nb,
-        comp=comp,
+        comp=comp, sym=sym,
     )
     vec = lambda n: pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -383,7 +445,7 @@ def fused_cg(
         x0_p = b_p                              # dummy operand, unread
     init_kernel = functools.partial(
         _cg_init_kernel, offs=offs, halo=halo, s_pad=s_pad, nb=nb, warm=warm,
-        comp=comp,
+        comp=comp, sym=sym,
     )
     init_call = pl.pallas_call(
         init_kernel,

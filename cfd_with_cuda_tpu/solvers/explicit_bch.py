@@ -409,7 +409,8 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             from cfd_with_cuda_tpu.ops.pallas_cg import cg_weight_layout
 
             self.d["Z_win_cg"] = cg_weight_layout(
-                self.d["Z_win"], (cx, cy, cz), z_dia.radius
+                self.d["Z_win"], (cx, cy, cz), z_dia.radius,
+                sym=self.config.pressure_cg_sym,
             )
             # inverse Jacobi diagonal, pre-padded to the CG kernel's lane
             # width: computing 1/Z_diag (+ pad) per pressure solve sits
@@ -873,6 +874,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                         maxiter=cfg.pressure_cg_maxiter,
                         x0=x0_[0] if x0_ else None,
                         unroll=max(1, int(cfg.pressure_cg_unroll)),
+                        sym=cfg.pressure_cg_sym and "Z_win_cg" in d,
                         _skip_loop="cgnoloop" in abl,
                         # MIXED policy: double-single in-kernel dots
                         # stand in for the XLA path's f64 reductions

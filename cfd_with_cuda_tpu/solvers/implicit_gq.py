@@ -482,7 +482,8 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             from cfd_with_cuda_tpu.ops.pallas_cg import cg_weight_layout
 
             self.d["Z_win_cg"] = cg_weight_layout(
-                self.d["Z_win"], (cx, cy, cz), z_dia.radius
+                self.d["Z_win"], (cx, cy, cz), z_dia.radius,
+                sym=self.config.pressure_cg_sym,
             )
             # pre-padded inverse Jacobi diagonal (see explicit_bch: the
             # per-solve 1/Z_diag + pad cannot be hoisted out of the
@@ -754,6 +755,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,
             x0=pdiff0,
             unroll=max(1, int(cfg.pressure_cg_unroll)),
+            sym=cfg.pressure_cg_sym,
             dot_mode=(
                 "compensated" if cfg.krylov_dot_dtype() is not None
                 else "plain"
@@ -946,6 +948,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
                     tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,
                     x0=x0_[0] if x0_ else None,
                     unroll=max(1, int(cfg.pressure_cg_unroll)),
+                    sym=cfg.pressure_cg_sym and "Z_win_cg" in d,
                     # MIXED policy: double-single in-kernel dots stand in
                     # for the XLA path's f64 reductions
                     dot_mode=(

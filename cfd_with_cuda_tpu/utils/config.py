@@ -75,6 +75,13 @@ class SolverConfig:
     # kernel with double-single compensated dots (dot_mode="compensated")
     # standing in for the f64 reductions.
     pressure_backend: str = "auto"
+    # Stream only the dq >= 0 half of the SYMMETRIC Z window in the
+    # fused CG, applying each positive offset both ways in-kernel:
+    # halves the dominant per-iteration HBM traffic (125 -> 63 slots at
+    # radius 2).  Exact-equality tested vs the full kernel
+    # (tests/test_pallas_cg.py); opt-in pending an on-TPU A/B of the
+    # extra in-register lane shifts vs the saved DMA bytes.
+    pressure_cg_sym: bool = False
     # Warm-start the pressure CG from the previous sub-iteration's pdot
     # (x0=0 matches the reference's MKL/CUSP solvers exactly, so this
     # defaults off).  The convergence bound stays relative to ||b||, so

@@ -75,6 +75,7 @@ _CFG_INCLUDE = (
     "shard_pad",         # device-array padding
     "spmd_devices",      # sharded fast path changes the pad multiple
     "structured_layout",  # parity-split vs interleaved device tables
+    "pressure_cg_sym",   # half vs full fused-CG weight layout
 )
 # deck fields that are provenance, not content
 _DECK_EXCLUDE = frozenset({"source_path"})

@@ -47,6 +47,25 @@ EOF
 
 if [ "${1:-all}" = "quick" ]; then exit 0; fi
 
+echo "== 2b. A/B: pressure_cg_sym (half-window streamed fused CG)"
+python - <<'EOS'
+import time
+from cfd_with_cuda_tpu.io.deck import read_deck
+from cfd_with_cuda_tpu.solvers.explicit_bch import ExplicitBCHSolver
+from cfd_with_cuda_tpu.utils.config import DTypePolicy, SolverConfig
+
+deck = read_deck("/root/reference/inputFiles/lidDrivenCavity/lidDrivenCavity_NE27000.inp")
+for sym in (False, True):
+    s = ExplicitBCHSolver(deck, SolverConfig(
+        dtype_policy=DTypePolicy.F32, pressure_backend="pallas",
+        pressure_cg_tol=1e-6, steps_per_chunk=100,
+        pressure_warm_start=True, pressure_cg_sym=sym,
+    ))
+    state, _ = s.run(n_steps=100)
+    t0 = time.time(); state, _ = s.run(state, n_steps=300)
+    print(f"pressure_cg_sym={sym}: {(time.time()-t0)/300*1e3:.2f} ms/step")
+EOS
+
 echo "== 3. bench matrix (implicit/f64/mixed/ell/duct/stokes/segregated/ne85/ne125/bfs)"
 python scripts/bench_matrix.py
 

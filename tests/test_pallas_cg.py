@@ -99,6 +99,51 @@ def test_fused_cg_prepadded_weights(pinned_z):
         )
 
 
+def test_fused_cg_symmetric_half_stream_matches_full(pinned_z):
+    """sym=True streams only the dq >= 0 half of the symmetric Z and
+    applies each positive offset both ways in-kernel — the solve must
+    match the full-window kernel to FP-order noise (accumulation order
+    differs), cold and warm-started, raw and pre-padded weights."""
+    from cfd_with_cuda_tpu.ops.pallas_cg import cg_weight_layout
+
+    win, diag, dims, radius = pinned_z
+    rng = np.random.default_rng(11)
+    s = int(np.prod(dims))
+    b = rng.standard_normal(s).astype(np.float32)
+    b[0] = 0.0
+    x0 = rng.standard_normal(s).astype(np.float32) * 0.1
+
+    args = dict(dims=dims, radius=radius, tol=1e-6, maxiter=200)
+    pre_sym = jnp.asarray(cg_weight_layout(win, dims, radius, sym=True))
+    mv = lambda p: patches_spmv(jnp.asarray(win), p, dims, radius)
+    for warm in (None, x0):
+        ref = fused_cg(
+            jnp.asarray(win), jnp.asarray(b), jnp.asarray(1.0 / diag),
+            x0=warm, **args,
+        )
+        for w in (jnp.asarray(win), pre_sym):
+            out = fused_cg(
+                w, jnp.asarray(b), jnp.asarray(1.0 / diag),
+                x0=warm, sym=True, **args,
+            )
+            assert abs(int(out.iters) - int(ref.iters)) <= 1
+            np.testing.assert_allclose(
+                np.asarray(out.x), np.asarray(ref.x), rtol=2e-4, atol=2e-5
+            )
+            r = b - np.asarray(mv(out.x))
+            assert np.linalg.norm(r) <= 1.5e-6 * np.linalg.norm(b)
+
+
+def test_cg_weight_layout_sym_rejects_asymmetric(pinned_z):
+    from cfd_with_cuda_tpu.ops.pallas_cg import cg_weight_layout
+
+    win, _, dims, radius = pinned_z
+    bad = np.array(win, copy=True)
+    bad[0] += 1.0          # break symmetry at the most-negative offset
+    with pytest.raises(ValueError, match="not symmetric"):
+        cg_weight_layout(bad, dims, radius, sym=True)
+
+
 def test_comp_dot_accumulates_like_f64():
     """The in-kernel double-single dot (MIXED policy) matches the f64
     dot of the same f32 inputs to ~1 ulp of the f32-rounded result."""

@@ -466,3 +466,28 @@ def test_implicit_parity_mixed_policy_matches_f32():
     assert np.isfinite(umx).all() and np.isfinite(pmx).all()
     np.testing.assert_allclose(umx, u32, atol=5e-5)
     np.testing.assert_allclose(pmx, p32, atol=5e-4)
+
+
+def test_explicit_sym_cg_stream_matches_full():
+    """pressure_cg_sym=True (half-window streamed fused CG) reproduces
+    the full-window solver step: same CG iterations, fields equal."""
+    import jax
+
+    deck = cavity_deck(4, viscosity=0.01, dt=0.001)
+    base = dict(
+        dtype_policy=DTypePolicy.F32, pressure_backend="pallas",
+        setup_cache="off", steps_per_chunk=1,
+    )
+    outs = {}
+    for sym in (False, True):
+        s = ExplicitBCHSolver(deck, SolverConfig(pressure_cg_sym=sym, **base))
+        fn = jax.jit(s._chunk_fn(1))
+        st = s.initial_state()
+        for _ in range(3):
+            st, pk = fn(s.d, st)
+        outs[sym] = (s.fields(st), np.asarray(pk).ravel())
+    (u0, p0), m0 = outs[False]
+    (u1, p1), m1 = outs[True]
+    np.testing.assert_allclose(u1, u0, atol=1e-5)
+    np.testing.assert_allclose(p1, p0, atol=1e-5)
+    assert abs(float(m0[6]) - float(m1[6])) <= 4       # cg iters
