@@ -921,6 +921,13 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             md_inv_b = d["md_inv"][None, :]
             md_orig_inv_b = d["md_orig_inv"][None, :]
 
+        # G pn is loop-invariant across the sub-iterations (pn is fixed
+        # for the whole time step) — hoist it: XLA does not move a
+        # Pallas custom call out of the while body, so computing it
+        # in-loop re-streams the G table every sub-iteration (340 MB
+        # interleaved / 46 MB parity-compacted per apply)
+        g_pn = grad(pn)
+
         def iteration(carry):
             (it, _conv, unp_half_prev, unp1_prev, _acc_prev, pnp1_prev,
              k_acc_prev, _unp1, _pnp1, _cgit, pdot_prev) = carry
@@ -944,7 +951,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                     un, unp_half_prev, d["ltog"], d["Sv"], d["gDSv"], d["gq"], nn
                 )
                 r1 -= jnp.pad(conv, ((0, 0), (0, self.s_pad - nn)))
-            r1 -= grad(pn)
+            r1 -= g_pn
             r1 = r1 * mask
             unp_half = un + dt * r1 * md_inv_b
 
@@ -970,6 +977,18 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
 
             # ---- next-iteration rotation + K*acc (skipped on break, :2963-3025)
             keep = lambda new, old: jnp.where(conv, old, new)
+            # K*acc feeds ONLY the next sub-iteration: on the exiting
+            # trip (converged, or the max_iter-th) the apply is dead —
+            # branch around the 63-113 MB K stream instead of computing
+            # it and selecting it away (ablation mode keeps the fixed
+            # op count its timing-by-subtraction needs)
+            done = conv | (it >= deck.max_iter)
+            if abl:
+                k_acc = keep(k_mul(acc), k_acc_prev)
+            else:
+                k_acc = lax.cond(
+                    done, lambda a: k_acc_prev, lambda a: k_mul(a), acc
+                )
             return (
                 it + 1,
                 conv,
@@ -977,7 +996,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                 keep(unp1, unp1_prev),
                 keep(acc, zeros_u),
                 keep(pnp1, pnp1_prev),
-                keep(k_mul(acc), k_acc_prev),
+                k_acc,
                 unp1,
                 pnp1,
                 sol.iters,
