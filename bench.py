@@ -16,6 +16,7 @@ Prints exactly one JSON line:
 
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -37,7 +38,46 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def probe_backend(timeout_s=240):
+    """Platform of the default jax backend, probed in a SUBPROCESS.
+
+    A dead axon tunnel makes ``jax.devices()`` hang indefinitely (observed:
+    >10 min) rather than raise — probing in-process would hang the whole
+    bench.  Returns e.g. "axon"/"tpu"/"cpu", or None if the probe hung or
+    crashed (tunnel down)."""
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return "cpu"
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+        if out.returncode == 0 and out.stdout.strip():
+            return out.stdout.strip().splitlines()[-1]
+        log(f"backend probe rc={out.returncode}: {out.stderr.strip()[-300:]}")
+    except subprocess.TimeoutExpired:
+        log(f"backend probe hung >{timeout_s}s (tunnel down)")
+    except Exception as e:  # noqa: BLE001
+        log(f"backend probe failed: {e}")
+    return None
+
+
 def main():
+    global N_MEASURE, N_WARM, CHUNK
+
+    platform = probe_backend()
+    if platform is None:
+        # tunnel down: force the CPU backend BEFORE importing jax so the
+        # bench still emits its JSON line (tiny sizes — this is a liveness
+        # fallback, not a perf number; "platform" in the output says so)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        platform = "cpu-fallback"
+        log("TPU backend unreachable — falling back to CPU, reduced sizes")
+    if platform.startswith("cpu"):
+        N_MEASURE, N_WARM, CHUNK = 10, 5, 5
+    log(f"backend platform: {platform}")
+
     import numpy as np
 
     from cfd_with_cuda_tpu.io.deck import read_deck
@@ -74,6 +114,9 @@ def main():
         {"structured_layout": "interleaved"},
         {"structured_layout": "interleaved", "pressure_backend": "xla"},
     )
+    if platform.startswith("cpu"):
+        # Mosaic kernels are TPU-only: skip straight to the XLA rung
+        ladder = ladder[-1:]
     solver = state = hist = None
     for extra in ladder:
         cfg = SolverConfig(**base_cfg, **extra)
@@ -131,6 +174,7 @@ def main():
                 "value": round(ms_per_step, 2),
                 "unit": "ms/step",
                 "vs_baseline": round(vs_baseline, 2),
+                "platform": platform,
             }
         )
     )

@@ -166,6 +166,37 @@ def test_solve_csr_backends(rng):
     np.testing.assert_allclose(x_bicg, x_ref, atol=1e-6)
 
 
+def test_solve_csr_dense_lu(rng):
+    """dense_lu (device MXU direct solve): an f32 factor alone cannot hit
+    1e-10 on an ill-conditioned nonsymmetric system; the f64 iterative
+    refinement must recover it in a few rounds."""
+    import scipy.sparse as sp
+
+    from cfd_with_cuda_tpu.ops.linsolve import solve_csr
+
+    n = 120
+    d = np.geomspace(1.0, 1e5, n)          # kappa ~ 1e5: f32 gives ~2 digits
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A = (Q * d) @ np.linalg.qr(rng.standard_normal((n, n)))[0]
+    A_csr = sp.csr_matrix(A)
+    b = rng.standard_normal(n)
+    x_ref = np.linalg.solve(A, b)
+    x, rounds = solve_csr(A_csr, b, "dense_lu", tol=1e-12)
+    np.testing.assert_allclose(x, x_ref, rtol=1e-8, atol=1e-8)
+    assert 1 <= rounds <= 13
+
+
+def test_solve_csr_dense_lu_size_guard():
+    import scipy.sparse as sp
+
+    from cfd_with_cuda_tpu.ops.linsolve import DENSE_DIRECT_LIMIT, solve_csr
+
+    n = DENSE_DIRECT_LIMIT + 1
+    A = sp.eye(n, format="csr")
+    with pytest.raises(ValueError, match="dense_lu"):
+        solve_csr(A, np.ones(n), "dense_lu")
+
+
 def test_mixed_precision_dots(rng):
     """dot_dtype=f64 (the MIXED policy: f32 state, f64 reductions) must
     not degrade an f32 solve, and typically recovers digits on an

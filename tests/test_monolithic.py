@@ -49,6 +49,18 @@ def test_stokes_cavity():
     assert abs(u[low, 1]) < 1e-6
 
 
+def test_stokes_dense_lu_matches_krylov():
+    """The on-device dense-LU direct backend (the reference's PARDISO /
+    Gauss-elimination role, Stokes3D.cpp:1674) agrees with the iterative
+    solve on the same monolithic Stokes system."""
+    deck = cavity_legacy_deck(4, viscosity=1.0)
+    u_it, p_it, _ = StokesSolver(deck, solver="gmres", solver_tol=1e-10).solve()
+    u_lu, p_lu, rounds = StokesSolver(deck, solver="dense_lu").solve()
+    assert rounds <= 13
+    np.testing.assert_allclose(u_lu, u_it, atol=1e-6)
+    np.testing.assert_allclose(p_lu, p_it, atol=1e-5)
+
+
 def test_stokes_reference_tau_mode_runs():
     """The reference's verbatim (h-independent, doubled) tau: solvable,
     finite, BCs exact — physics quality documented in PARITY.md."""
