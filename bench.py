@@ -38,7 +38,7 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def probe_backend(timeout_s=240):
+def probe_backend(timeout_s=120):
     """Platform of the default jax backend, probed in a SUBPROCESS.
 
     A dead axon tunnel makes ``jax.devices()`` hang indefinitely (observed:
@@ -68,14 +68,20 @@ def main():
 
     platform = probe_backend()
     if platform is None:
-        # tunnel down: force the CPU backend BEFORE importing jax so the
-        # bench still emits its JSON line (tiny sizes — this is a liveness
-        # fallback, not a perf number; "platform" in the output says so)
-        os.environ["JAX_PLATFORMS"] = "cpu"
+        # tunnel down: fall back to the CPU backend so the bench still
+        # emits its JSON line (tiny sizes — this is a liveness fallback,
+        # not a perf number; "platform" in the output says so)
         platform = "cpu-fallback"
         log("TPU backend unreachable — falling back to CPU, reduced sizes")
     if platform.startswith("cpu"):
-        N_MEASURE, N_WARM, CHUNK = 10, 5, 5
+        N_MEASURE, N_WARM, CHUNK = 4, 2, 2
+        # the axon sitecustomize imports jax at interpreter start and pins
+        # jax_platforms=axon, so env vars are too late here — only a
+        # config update actually redirects to CPU (same dance as
+        # tests/conftest.py)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     log(f"backend platform: {platform}")
 
     import numpy as np

@@ -23,7 +23,13 @@ name = sys.argv[1]
 t_final = float(sys.argv[2]) if len(sys.argv) > 2 else 200.0
 
 if name in ("exp_f64", "imp_f64", "exp_mixed"):
+    # env var alone is TOO LATE: the axon sitecustomize imports jax at
+    # interpreter start, so only a config update actually enables x64
+    # (the first round of this diagnosis silently ran f32 here)
     os.environ["JAX_ENABLE_X64"] = "1"
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 

@@ -26,8 +26,18 @@ name = sys.argv[1] if len(sys.argv) > 1 else "f32"
 n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 15000
 
 import os
-if name == "f64":
-    os.environ["JAX_ENABLE_X64"] = "1"
+
+# the axon sitecustomize imports jax at interpreter start, so setting
+# JAX_ENABLE_X64 in os.environ here is TOO LATE (the first round of this
+# diagnosis silently ran f32 because of exactly that) — only a config
+# update is reliable.  Same for the platform override.
+import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+if name in ("f64", "mixed"):
+    jax.config.update("jax_enable_x64", True)
+assert (jax.config.jax_enable_x64 == (name in ("f64", "mixed"))), "x64 state"
 
 from cfd_with_cuda_tpu.mesh.generators import cavity_deck
 from cfd_with_cuda_tpu.solvers.explicit_bch import ExplicitBCHSolver
