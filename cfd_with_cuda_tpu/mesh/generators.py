@@ -17,7 +17,8 @@ from cfd_with_cuda_tpu.io.deck import Deck
 
 __all__ = [
     "clustered_axis", "cube_hex_mesh", "cavity_deck", "channel_deck",
-    "bfs_deck", "kovasznay_deck", "kovasznay_legacy_deck",
+    "bfs_deck", "bending_duct_deck", "kovasznay_deck",
+    "kovasznay_legacy_deck",
 ]
 
 
@@ -359,6 +360,149 @@ def channel_deck(
         deck.inlet_profile = (
             inlet_profile, 1, 0, float(np.abs(inlet_velocity[0]))
         )
+    return deck
+
+
+def bending_duct_deck(
+    ne_s: int = 48,
+    ne_y: int = 32,
+    ne_z: int = 32,
+    *,
+    r_mean: float = 2.3,
+    inlet_len: float = 2.0,
+    outlet_len: float = 2.0,
+    cluster: float = 0.0,
+    inlet_velocity: float = 1.0,
+    dt: float = 0.002,
+    t_final: float = 20.0,
+    max_iter: int = 4,
+    tolerance: float = 1e-3,
+    convergence: float = 1e-6,
+    density: float = 1.0,
+    viscosity: float = 0.01,
+    inlet_profile: str | None = "duct_developed",
+) -> Deck:
+    """90-degree bending square duct (the reference's stripped
+    ``bendingSquareDuct_49x33x33.inp`` benchmark class,
+    ``.MISSING_LARGE_BLOBS``; its fully-developed inlet survives as the
+    commented profile at ``blascoCodinaHuerta.cpp:4086-4102`` — mean 1.0).
+
+    Geometry (unit duct width D=1, all lengths in D): a straight inlet
+    run of ``inlet_len`` along +x, a 90-degree circular bend of mean
+    centerline radius ``r_mean`` turning the flow from +x to +y (the
+    classic laminar Dean-/secondary-flow configuration, e.g. Humphrey,
+    Taylor & Whitelaw 1977 used Rc/D = 2.3), then a straight outlet run
+    of ``outlet_len`` along +y with natural outflow.  The bend is in the
+    x-y plane; z is the vertical cross-section axis.  Streamwise
+    stations are uniform in centerline arc length; ``cluster`` applies
+    the cavity generator's sinh wall-clustering to both cross-section
+    axes.
+
+    The curved coordinates make this a NON-box-grid hex mesh: it
+    exercises the unstructured ELL path of the fractional-step solvers
+    at any size (``ne_s, ne_y, ne_z = 48, 32, 32`` rebuilds the
+    reference's 49x33x33-node deck geometry).
+    """
+    if r_mean <= 0.5:
+        raise ValueError("r_mean must exceed D/2 = 0.5 (inner radius > 0)")
+    arc = 0.5 * np.pi * r_mean
+    total = inlet_len + arc + outlet_len
+    s = np.linspace(0.0, total, ne_s + 1)
+
+    # centerline position c(s) and in-plane lateral normal n(s) such that
+    # (tangent, n, z) is right-handed (positive Jacobians)
+    cx = np.empty_like(s)
+    cy = np.empty_like(s)
+    nx_ = np.empty_like(s)
+    ny_ = np.empty_like(s)
+    a = s <= inlet_len
+    cx[a] = s[a] - inlet_len
+    cy[a] = 0.0
+    nx_[a] = 0.0
+    ny_[a] = 1.0
+    b = (s > inlet_len) & (s < inlet_len + arc)
+    phi = (s[b] - inlet_len) / r_mean
+    cx[b] = r_mean * np.sin(phi)
+    cy[b] = r_mean * (1.0 - np.cos(phi))
+    nx_[b] = -np.sin(phi)
+    ny_[b] = np.cos(phi)
+    c = s >= inlet_len + arc
+    cx[c] = r_mean
+    cy[c] = r_mean + (s[c] - inlet_len - arc)
+    nx_[c] = -1.0
+    ny_[c] = 0.0
+
+    # cross-section offsets: lateral r in [-1/2, 1/2], vertical z in [0, 1]
+    r = clustered_axis(ne_y + 1, 1.0, cluster) - 0.5
+    zs = clustered_axis(ne_z + 1, 1.0, cluster)
+
+    # node ordering must match cube_hex_mesh: streamwise (i) fastest,
+    # then lateral (j), then vertical (k)
+    X = cx[None, None, :] + r[None, :, None] * nx_[None, None, :]
+    Y = cy[None, None, :] + r[None, :, None] * ny_[None, None, :]
+    Z = np.broadcast_to(zs[:, None, None], (ne_z + 1, ne_y + 1, ne_s + 1))
+    coords = np.stack(
+        [X + 0.0 * Z, Y + 0.0 * Z, Z + 0.0 * X], axis=-1
+    ).reshape(-1, 3)
+
+    # connectivity of the index-space box (ignore its coords)
+    _, conn = cube_hex_mesh(ne_s + 1, ne_y + 1, ne_z + 1)
+
+    fb = _boundary_faces((ne_s, ne_y, ne_z))
+    walls = np.concatenate([fb[k] for k in ("zmin", "zmax", "ymin", "ymax")])
+    inlet = fb["xmin"]
+    outlet = fb["xmax"]
+    vel_faces = np.concatenate(
+        [
+            np.column_stack([walls, np.zeros(len(walls), dtype=np.int64)]),
+            np.column_stack([inlet, np.ones(len(inlet), dtype=np.int64)]),
+        ]
+    ).astype(np.int64)
+    out_faces = np.column_stack(
+        [outlet, np.full(len(outlet), 2, dtype=np.int64)]
+    ).astype(np.int64)
+
+    # zero-pressure pin at the outlet cross-section center
+    target = np.array([r_mean, r_mean + outlet_len, 0.5])
+    zp = int(np.argmin(((coords - target) ** 2).sum(axis=1)))
+
+    deck = Deck(
+        dialect="fractional",
+        title=f"3D bending square duct {ne_s}x{ne_y}x{ne_z}",
+    )
+    deck.etype = 1
+    deck.ne = ne_s * ne_y * ne_z
+    deck.ncn = (ne_s + 1) * (ne_y + 1) * (ne_z + 1)
+    deck.nenv, deck.nenp, deck.ngp = 27, 8, 8
+    deck.alpha = 1.0
+    deck.dt = dt
+    deck.t_ini = 0.0
+    deck.t_final = t_final
+    deck.max_iter = max_iter
+    deck.tolerance = tolerance
+    deck.convergence_criteria = convergence
+    deck.density = density
+    deck.viscosity = viscosity
+    deck.coords = coords
+    deck.conn = conn
+    deck.bc_type = np.array([1.0, 1.0, 3.0])
+    deck.bc_str = np.array(
+        [[0.0, 0.0, 0.0], [float(inlet_velocity), 0.0, 0.0], [0.0, 0.0, 0.0]]
+    )
+    deck.bc_vel_faces = vel_faces
+    deck.bc_out_faces = out_faces
+    deck.zero_pressure_node = zp
+    # monitor at the mid-bend cross-section center (phi = 45 deg), where
+    # the secondary (Dean) circulation peaks
+    deck.monitor_xyz = np.array(
+        [
+            r_mean * np.sin(np.pi / 4),
+            r_mean * (1.0 - np.cos(np.pi / 4)),
+            0.5,
+        ]
+    )
+    if inlet_profile is not None:
+        deck.inlet_profile = (inlet_profile, 1, 0, float(abs(inlet_velocity)))
     return deck
 
 

@@ -7,8 +7,14 @@ Rows (BASELINE.json:6-12; the headline explicit-cavity row is bench.py):
   mixed      — explicit BCH, f32 state + f64 Krylov reductions
   ell        — explicit BCH with structured="never": the unstructured
                ELL/gather path every converter-imported mesh takes
-  duct       — square duct 48x32x32 (regenerates the missing
-               bendingSquareDuct_49x33x33 class via the channel generator)
+  duct       — STRAIGHT square duct 48x32x32 (developed-profile
+               regression geometry, channel generator)
+  bendduct   — 90-degree BENDING square duct 48x32x32 with the
+               reference's fully-developed inlet: the actual
+               bendingSquareDuct_49x33x33 benchmark class
+               (.MISSING_LARGE_BLOBS); curved -> unstructured ELL path;
+               prints the mid-bend secondary-flow ratio (Dean vortices),
+               the physics this deck benchmarks
   stokes     — steady Stokes GLS solve on the reference's own
                fem3dCavityInputNE1000.inp legacy deck (wall-clock of the
                whole linear solve, not ms/step)
@@ -127,6 +133,39 @@ def run_row(name):
         cls = ExplicitBCHSolver
         cfg = SolverConfig(dtype_policy=DTypePolicy.F32, **kw)
         n = 20
+    elif name == "bendduct":
+        import numpy as np
+
+        from cfd_with_cuda_tpu.mesh.generators import bending_duct_deck
+
+        deck = bending_duct_deck(
+            48, 32, 32, cluster=1.5, viscosity=0.01, dt=0.002,
+        )
+        cfg = SolverConfig(
+            dtype_policy=DTypePolicy.F32, pressure_warm_start=True, **kw
+        )
+        t0 = time.time()
+        solver = ExplicitBCHSolver(deck, cfg)
+        setup = time.time() - t0
+        ms, h = measure(solver, 50, chunk)
+        # march to t=6 for a developed bend, then the secondary-flow ratio
+        state, hist = solver.run(n_steps=3000 - 50 - chunk)
+        u = np.asarray(solver.fields(state)[0])
+        c = solver.mesh.coords
+        phi = np.arctan2(c[:, 0], 2.3 - c[:, 1])
+        mid = (np.abs(phi - np.pi / 4) < 0.05) & (phi > 0.05)
+        us = u[:, 0] * np.cos(phi) + u[:, 1] * np.sin(phi)
+        un = -u[:, 0] * np.sin(phi) + u[:, 1] * np.cos(phi)
+        sec = float(np.sqrt(un[mid] ** 2 + u[mid, 2] ** 2).max())
+        ratio = sec / float(us[mid].max())
+        row = (
+            f"| {name} | {ms:.1f} | {int(h['cg_iters'])} | - "
+            f"| {int(h['iters'])} | {setup:.0f} | structured="
+            f"{solver.structured} secondary/streamwise={ratio:.3f} "
+            f"(t=6) u_mon={hist[-1]['u_mon']:+.5f} |"
+        )
+        print(row, flush=True)
+        return row
     elif name == "stokes":
         from cfd_with_cuda_tpu.solvers.monolithic import StokesSolver
 
@@ -190,8 +229,8 @@ def main():
 
     enable_compilation_cache()
     rows = sys.argv[1:] or [
-        "implicit", "explicit64", "mixed", "ell", "duct", "stokes",
-        "segregated", "ne85", "ne125", "bfs",
+        "implicit", "explicit64", "mixed", "ell", "duct", "bendduct",
+        "stokes", "segregated", "ne85", "ne125", "bfs",
     ]
     results = []
     for name in rows:
