@@ -212,10 +212,15 @@ def parity_window_apply(wp, x, *, pairs, co=None, accumulate_in=None):
 
     ``wp (8, m, Sp)``, ``x (C, 8, Sp)`` -> ``(C, 8, Sp)``.  The whole
     class-split field stays VMEM-resident; weights stream per block.
-    ``co`` (default C) sets output channels; ``accumulate_in`` sums the
-    input-channel axis (divergence: x (3, 8, Sp), wp (3*m slots...)) —
-    not used in v1, reserved.
+    ``co`` (default C) sets output channels; ``accumulate_in`` (reserved:
+    sum over the input-channel axis, the divergence shape) is NOT
+    implemented — :func:`parity_div_apply` covers that case.
     """
+    if accumulate_in is not None:
+        raise NotImplementedError(
+            "accumulate_in is reserved; use parity_div_apply for the "
+            "input-channel-summed (divergence) apply"
+        )
     c, _, sp = x.shape
     co = co or c
     halo_raw = max(
@@ -343,6 +348,12 @@ def parity_apply(wc, x, *, pairs, co=None, blk=1024, stream_x=None):
     c, _, sp = x.shape
     cw, m, _ = wc.shape
     co = co or max(c, cw)
+    if sp % blk or blk % 128:
+        # a non-dividing blk would leave y[:, :, n_blocks*blk:] as
+        # uninitialized VMEM garbage; a non-128-multiple blk breaks the
+        # Mosaic aligned-dynamic-slice contract below
+        raise ValueError(f"blk ({blk}) must divide sp ({sp}) and be a "
+                         f"multiple of 128")
     halo_raw = max(
         (abs(dq) for cls in pairs for (_, _, dq) in cls), default=0
     )
@@ -462,7 +473,7 @@ def parity_div_apply(gt_cwin, up, coarse_dims):
 
 # --------------------------------------------------------- elemental ops
 
-def parity_gather_elem(u, elem_dims, coarse_dims, sp: int):
+def parity_gather_elem(u, elem_dims, coarse_dims):
     """(C, 27, NE) window-channel-ordered elemental gather from a
     class-major field (C, 8, Sp): element (I,J,K)'s channel (ox,oy,oz)
     is class (o&1) at subgrid (I,J,K) + (o>>1) — 27 CONTIGUOUS slices

@@ -49,7 +49,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 try:  # jax >= 0.4.35
     from jax import shard_map
 except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map_compat
+
+    def shard_map(f, *, mesh, in_specs, out_specs, check_vma=True):
+        # the experimental API spells the replication check `check_rep`
+        return _shard_map_compat(
+            f, mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=check_vma,
+        )
 
 from cfd_with_cuda_tpu.ops.pallas_stencil import BLK, _stencil_call
 
@@ -86,9 +93,15 @@ def _halo_exchange(x_loc, halo: int, axis: str, n: int):
         left = jnp.zeros((c, halo), x_loc.dtype)
         right = jnp.zeros((c, right_need), x_loc.dtype)
     else:
-        # from left neighbor: its trailing `halo` elements
-        left = lax.ppermute(
-            x_loc[:, -halo:], axis, [(i, i + 1) for i in range(n - 1)]
+        # from left neighbor: its trailing `halo` elements.  NB the
+        # halo == 0 case must not slice with [:, -0:] (that is the WHOLE
+        # block, which would silently shift every window one shard left)
+        left = (
+            jnp.zeros((c, 0), x_loc.dtype)
+            if halo == 0
+            else lax.ppermute(
+                x_loc[:, -halo:], axis, [(i, i + 1) for i in range(n - 1)]
+            )
         )
         # from right neighbor: its leading `halo + 128` elements
         # (local blocks are >= BLK = 2048 >= halo + 128 is NOT guaranteed

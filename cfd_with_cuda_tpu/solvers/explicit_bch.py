@@ -776,7 +776,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             # :3520-3685)
             if parity:
                 gather = lambda u: pstl.parity_gather_elem(
-                    u, self.elem_dims, self.coarse_dims, sp_c
+                    u, self.elem_dims, self.coarse_dims
                 )
             else:
                 gather = lambda u: gather_elem_stencil(

@@ -683,7 +683,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
 
         # ---- per-step LHS: A = (M/dt + K)|masked + masked A(u^k)
         u0_e = pstl.parity_gather_elem(
-            uk_prev, self.elem_dims, self.coarse_dims, sp_c
+            uk_prev, self.elem_dims, self.coarse_dims
         )
         u0_gq = jnp.einsum("ki,die->dke", d["Sv"], u0_e)
         udotg = jnp.einsum("dke,djke->jke", u0_gq, d["gDSv"])
@@ -692,7 +692,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         # output node is a BC node vanish (the static MKp already carries
         # the unit diagonal there)
         mask_e = pstl.parity_gather_elem(
-            d["bc_mask_p"][None], self.elem_dims, self.coarse_dims, sp_c
+            d["bc_mask_p"][None], self.elem_dims, self.coarse_dims
         )[0]
         ae = ae * mask_e[:, None, :]
         conv_p = pstl.parity_assemble_conv(

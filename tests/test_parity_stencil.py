@@ -422,7 +422,7 @@ def test_parity_elem_gather_scatter_match(solver):
 
     ref_g = gather_elem_stencil(u[:, :S], s.elem_dims, s.fine_dims)
     up = ps.parity_split(u, s.fine_dims, sp)
-    got_g = ps.parity_gather_elem(up, s.elem_dims, cdims, sp)
+    got_g = ps.parity_gather_elem(up, s.elem_dims, cdims)
     np.testing.assert_array_equal(np.asarray(got_g), np.asarray(ref_g))
 
     rng = np.random.default_rng(4)
