@@ -30,7 +30,12 @@ def _resolve_deck(arg: str) -> Path:
     if p.is_dir():
         p = p / "ProblemName.txt"
     if p.name == "ProblemName.txt" or (p.suffix == ".txt" and p.exists()):
-        name = p.read_text().split()[0]
+        # a missing/empty pointer file should fall through to the caller's
+        # "deck not found" error, not crash on read_text()/split()[0]
+        words = p.read_text().split() if p.exists() else []
+        # empty pointer file: return a path that cannot exist so the
+        # caller's "deck not found" error names the real problem
+        name = words[0] if words else "<empty-ProblemName.txt>"
         return p.parent / f"{name}.inp"
     return p
 

@@ -82,7 +82,7 @@ class ExplicitOracle:
 
         Z = ops.Z.tocsr().copy()
         self.pin = deck.zero_pressure_node
-        if self.pin > 0:                 # applyBC_Step2(1), :4171-4180
+        if self.pin >= 0:                 # applyBC_Step2(1), :4171-4180
             Z[self.pin, self.pin] *= 1000.0
         self.Z = Z
         self.ltog = mesh.ltog_node
@@ -129,7 +129,7 @@ class ExplicitOracle:
             # step2 (:3813-3893)
             dummy = unp_half / (dt * dt) - self.md_orig_inv[:, None] * k_acc_prev
             r2 = sum(self.Gt[d] @ dummy[:, d] for d in range(3))
-            if self.pin > 0:
+            if self.pin >= 0:
                 r2[self.pin] = 0.0
             pdot, _ = _jacobi_cg(self.Z, r2, cg_tol, cg_maxiter)
             pnp1 = pn + dt * pdot

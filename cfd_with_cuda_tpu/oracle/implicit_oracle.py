@@ -54,7 +54,7 @@ class ImplicitOracle:
 
         Z = ops.Z.tocsr().copy()
         self.pin = deck.zero_pressure_node
-        if self.pin > 0:
+        if self.pin >= 0:
             Z[self.pin, self.pin] *= 1000.0
         self.Z = Z
         self.MplusK = (self.M + self.K).tocsr()
@@ -93,7 +93,7 @@ class ImplicitOracle:
 
         # step2 (:4096-4165)
         r2 = -(1.0 / dt) * sum(self.Gt[d] @ uk[:, d] for d in range(3))
-        if self.pin > 0:
+        if self.pin >= 0:
             r2[self.pin] = 0.0
         pdiff = spla.spsolve(self.Z.tocsc(), r2)
         pk = pk_prev + pdiff

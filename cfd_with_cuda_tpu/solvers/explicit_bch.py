@@ -171,7 +171,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         Z = ops.Z.tocsr().copy()
         pin = deck.zero_pressure_node
         self.pin = pin
-        if pin > 0:
+        if pin >= 0:
             Z[pin, pin] = Z[pin, pin] * cfg.pressure_pin_large
 
         # ---- structured fast path: detect a box-grid topology, renumber
@@ -444,7 +444,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             )
         else:
             self.conv_oij = None
-        self.pin_grid = int(perm_p[self.pin]) if self.pin > 0 else -1
+        self.pin_grid = int(perm_p[self.pin]) if self.pin >= 0 else -1
         mon = find_monitor_node(
             deck.coords,
             deck.monitor_xyz if deck.monitor_xyz is not None else (0.5,) * 3,
@@ -891,7 +891,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                     # latency-bound psums per iteration (see
                     # parallel/sharded_stencil.py module docstring); a
                     # pallas_call also cannot sit under GSPMD directly
-                    from jax import shard_map
+                    from cfd_with_cuda_tpu.parallel.sharded_stencil import shard_map  # version-compat shim
                     from jax.sharding import PartitionSpec as P
 
                     args = (win_cg, r2, dinv) + (
@@ -908,6 +908,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                 ))
             return cg(
                 z_mul, r2,
+                x0 if cfg.pressure_warm_start else None,
                 tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,
                 precond=precond, dot_dtype=cfg.krylov_dot_dtype(),
             )
@@ -929,7 +930,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         g_pn = grad(pn)
 
         def iteration(carry):
-            (it, _conv, unp_half_prev, unp1_prev, _acc_prev, pnp1_prev,
+            (it, _conv, unp_half_prev, unp1_prev, pnp1_prev,
              k_acc_prev, _unp1, _pnp1, _cgit, pdot_prev) = carry
 
             # ---- step1: R1 = -K u* - A(un) u* - G pn  (ref :3712-3783)
@@ -958,7 +959,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             # ---- step2: R2 = G^T (u*/dt^2 - MdOrigInv K acc_prev)  (:3813-3868)
             dummy = unp_half / (dt * dt) - md_orig_inv_b * k_acc_prev
             r2 = div(dummy)
-            if pin > 0:
+            if pin >= 0:
                 r2 = r2.at[pin].set(0.0)
             sol = pressure_solve(r2, pdot_prev)
             pdot = sol.x
@@ -994,7 +995,6 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                 conv,
                 keep(unp_half, unp_half_prev),
                 keep(unp1, unp1_prev),
-                keep(acc, zeros_u),
                 keep(pnp1, pnp1_prev),
                 k_acc,
                 unp1,
@@ -1013,11 +1013,11 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
 
         init = (
             jnp.asarray(1), jnp.asarray(False),
-            un, unp1_prev0, zeros_u, pn, zeros_u,
+            un, unp1_prev0, pn, zeros_u,
             un, pn, jnp.asarray(0), pdot0,
         )
         out = lax.while_loop(cond, iteration, init)
-        (it, _conv, _uhp, unp1_prev, _acc, _pprev, _kacc, unp1, pnp1, cgit,
+        (it, _conv, _uhp, unp1_prev, _pprev, _kacc, unp1, pnp1, cgit,
          pdot_out) = out
 
         max_acc = jnp.max(jnp.abs(unp1 - un)) / dt

@@ -141,7 +141,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         Z = ops.Z.tocsr().copy()
         pin = deck.zero_pressure_node
         self.pin = pin
-        if pin > 0:
+        if pin >= 0:
             Z[pin, pin] = Z[pin, pin] * cfg.pressure_pin_large
 
         # Outflow faces -> homogeneous Dirichlet on the pressure INCREMENT
@@ -499,7 +499,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             self.d["GT_cwin"] = dev(compact_gt_window(
                 self.d["GT_win"], (fx, fy, fz), (cx, cy, cz)
             ))
-        self.pin_grid = int(perm_p[self.pin]) if self.pin > 0 else -1
+        self.pin_grid = int(perm_p[self.pin]) if self.pin >= 0 else -1
         mon = find_monitor_node(
             deck.coords,
             deck.monitor_xyz if deck.monitor_xyz is not None else (0.5,) * 3,
@@ -519,7 +519,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         # the Galerkin coarse solve of the unpinned all-Neumann Laplacian
         # inverts a singular matrix and the V-cycle returns garbage —
         # Jacobi handles the singular-consistent case instead.
-        z_regular = self.pin > 0 or float(np.min(p_mask)) == 0.0
+        z_regular = self.pin >= 0 or float(np.min(p_mask)) == 0.0
         if self.config.pressure_precond == "mg" and not z_regular:
             raise ValueError(
                 "pressure_precond='mg' needs a nonsingular Z (a pressure "
@@ -604,6 +604,16 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             self.d["Gp"] = np.asarray(gp, dtype)
             self.d["bc_mask_p"] = pstl.parity_split_table(
                 self.d["bc_mask"], (fx, fy, fz), sp_c
+            )
+            # elemental Dirichlet row mask, gathered ONCE at setup (the
+            # per-step body must not re-gather a constant inside the
+            # chunk while-loop — XLA does not hoist it out)
+            self.d["bc_mask_e"] = np.asarray(
+                pstl.parity_gather_elem(
+                    self.d["bc_mask_p"][None],
+                    self.elem_dims, (cx, cy, cz),
+                )[0],
+                dtype,
             )
             self.d["bc_vel_p"] = pstl.parity_split_table(
                 self.d["bc_vel"], (fx, fy, fz), sp_c
@@ -690,11 +700,8 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         ae = jnp.einsum("ki,ke,jke->ije", d["Sv"], d["gq"], udotg)
         # Dirichlet row-zeroing in ELEMENT space: contributions whose
         # output node is a BC node vanish (the static MKp already carries
-        # the unit diagonal there)
-        mask_e = pstl.parity_gather_elem(
-            d["bc_mask_p"][None], self.elem_dims, self.coarse_dims
-        )[0]
-        ae = ae * mask_e[:, None, :]
+        # the unit diagonal there); the mask is gathered once at setup
+        ae = ae * d["bc_mask_e"][:, None, :]
         conv_p = pstl.parity_assemble_conv(
             ae, route=self.conv_route, n_planes=int(d["MKp"].shape[1]),
             elem_dims=self.elem_dims, coarse_dims=self.coarse_dims,
@@ -745,7 +752,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             # all-Neumann + boundary thru-flow: remove the null-space
             # (constant) component the discrete BC flux defect injects
             r2 = r2 - jnp.mean(r2)
-        if self.pin_grid > 0:
+        if self.pin_grid >= 0:
             r2 = r2.at[self.pin_grid].set(0.0)
         pdiff0 = (pk_prev - pk_prevprev) if warm else None
         win_cg = d["Z_win_cg"]
@@ -932,7 +939,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             # all-Neumann + boundary thru-flow: remove the null-space
             # (constant) component the discrete BC flux defect injects
             r2 = r2 - jnp.mean(r2)
-        if self.pin_grid > 0:
+        if self.pin_grid >= 0:
             r2 = r2.at[self.pin_grid].set(0.0)
         pdiff0 = (pk_prev - pk_prevprev) if warm else None
         if use_fused:
@@ -962,7 +969,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
                 # replicated coarse-grid CG (see explicit_bch: redundant
                 # per-device compute beats per-iteration psums at this
                 # size, and a pallas_call cannot sit under GSPMD)
-                from jax import shard_map
+                from cfd_with_cuda_tpu.parallel.sharded_stencil import shard_map  # version-compat shim
                 from jax.sharding import PartitionSpec as P
 
                 sol = shard_map(
@@ -1060,7 +1067,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         r2 = (-1.0 / dt) * div_apply(d["GT_vals"], d["GT_cols"], uk) * d["p_mask"]
         if self.ppe_project:
             r2 = r2 - jnp.mean(r2)
-        if self.pin > 0:
+        if self.pin >= 0:
             r2 = r2.at[self.pin].set(0.0)
         # CG on the (negative-definite) direct Z — sign-consistent, like the
         # reference's unpreconditioned MKL dcg (:4503-4536); Jacobi here

@@ -34,7 +34,7 @@ __all__ = [
 ]
 
 # bump when solver snapshot layouts change — stale entries just miss
-SCHEMA = 11
+SCHEMA = 12
 
 
 def default_cache_dir() -> str | None:
