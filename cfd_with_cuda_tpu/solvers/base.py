@@ -116,10 +116,20 @@ class ChunkedTimeLoop:
             done2 = done | ~(stats.max_acc > conv_crit)
             return (state2, done2), stats
 
-        def chunk(params, state):
+        def chunk(params, state, done_in=None):
+            # done_in carries the steady flag ACROSS chunk dispatches
+            # (run() passes the previous chunk's flag as a device scalar;
+            # direct 2-arg callers start fresh) — without it each chunk
+            # would run one real step past a steady stop before the
+            # in-graph flag re-latched
+            done0 = (
+                jnp.asarray(False)
+                if done_in is None
+                else jnp.asarray(done_in, bool)
+            )
             (state, done), stats = lax.scan(
                 lambda c, x: body(params, c, x),
-                (state, jnp.asarray(False)),
+                (state, done0),
                 None,
                 length=n_steps,
             )
@@ -162,19 +172,18 @@ class ChunkedTimeLoop:
             round((deck.t_final - deck.t_ini) / deck.dt)
         )
         chunk_len = max(1, min(self.config.steps_per_chunk, total))
-        step_fn = self.compiled_chunk(chunk_len)
 
         history = []
         done_steps = 0
         next_dump = tecplot_every
         t = deck.t_ini
 
-        def consume(packed, base_step):
+        def consume(packed, base_step, this_len):
             """Pull one chunk's packed stats and append history rows.
             Returns (done flag, new t)."""
             nonlocal t
             stats, done = unpack_chunk_stats(packed)
-            for k in range(chunk_len):
+            for k in range(this_len):
                 if base_step + k >= total:
                     break
                 if stats.iters[k] == 0:      # skipped (already steady)
@@ -198,17 +207,24 @@ class ChunkedTimeLoop:
         # packed monitor matrix and the host-side row bookkeeping overlap
         # chunk k+1's device execution instead of draining the pipeline
         # every chunk.  jax dispatch is async; only np.asarray(packed)
-        # blocks.  Steady-stop lags one chunk, which is free: the
-        # in-graph `done` flag makes the extra chunk's steps monitor-only
-        # no-ops (`_monitor_only` via lax.cond in `_chunk_fn`).
-        pending = None            # (packed, base_step) awaiting the pull
+        # blocks.  Steady-stop lags one chunk, which is free: the done
+        # flag is threaded from chunk k's packed output into chunk k+1's
+        # dispatch as a LAZY device scalar (no host sync), so the extra
+        # chunk's steps are monitor-only no-ops end to end.
+        pending = None        # (packed, base_step, len) awaiting the pull
         done = False
+        done_dev = jnp.asarray(False)
         while done_steps < total and not done:
-            state, packed = step_fn(self.d, state)
+            # final partial chunk: compile a right-sized graph instead of
+            # overshooting t_final with a full one
+            this_len = min(chunk_len, total - done_steps)
+            fn = self.compiled_chunk(this_len)
+            state, packed = fn(self.d, state, done_dev)
+            done_dev = packed[-1, -1] != 0
             if pending is not None:
                 done = consume(*pending)
-            pending = (packed, done_steps)
-            done_steps += chunk_len
+            pending = (packed, done_steps, this_len)
+            done_steps += this_len
             if tecplot_path is not None and done_steps >= next_dump:
                 # dumping syncs state anyway, so finish the pull first
                 if pending is not None:

@@ -55,10 +55,16 @@ def _hash_update(h, obj) -> None:
         h.update(str(obj.shape).encode())
         h.update(np.ascontiguousarray(obj).tobytes())
     elif isinstance(obj, (list, tuple)):
+        h.update(f"seq{len(obj)}(".encode())
         for item in obj:
             _hash_update(h, item)
+        h.update(b")")
     else:
-        h.update(repr(obj).encode())
+        # length-framed so adjacent scalars cannot collide
+        # (repr(12)+repr(3) == repr(1)+repr(23))
+        r = repr(obj).encode()
+        h.update(f"v{len(r)}:".encode())
+        h.update(r)
 
 
 # Config fields that SHAPE the setup arrays (an include-list: runtime
@@ -88,8 +94,10 @@ def deck_fingerprint(deck, config, *extra) -> str:
     for field in dataclasses.fields(deck):
         if field.name in _DECK_EXCLUDE:
             continue
+        h.update(field.name.encode())
         _hash_update(h, getattr(deck, field.name))
     for name in _CFG_INCLUDE:
+        h.update(name.encode())
         _hash_update(h, getattr(config, name))
     for item in extra:
         _hash_update(h, item)
@@ -105,10 +113,13 @@ def snapshot_load(cache_dir: str | None, key: str) -> dict | None:
     try:
         with open(path, "rb") as f:
             snap = pickle.load(f)
-        os.utime(path)          # LRU recency for evict_lru
-        return snap
     except Exception:  # corrupt/partial file -> treat as miss
         return None
+    try:
+        os.utime(path)          # LRU recency for evict_lru
+    except OSError:             # read-only dir: keep the hit anyway
+        pass
+    return snap
 
 
 def cache_max_bytes() -> int:
@@ -129,6 +140,16 @@ def evict_lru(cache_dir: str | Path, max_bytes: int | None = None) -> None:
         try:
             st = p.stat()
             entries.append((st.st_mtime, st.st_size, p))
+        except OSError:
+            continue
+    # orphaned mkstemp leftovers (writer killed mid-dump): age them out
+    # aggressively — a live writer's tmp is seconds old
+    import time as _time
+
+    for p in Path(cache_dir).glob("*.tmp"):
+        try:
+            if _time.time() - p.stat().st_mtime > 3600:
+                p.unlink()
         except OSError:
             continue
     total = sum(sz for _, sz, _ in entries)

@@ -78,3 +78,39 @@ def test_pressure_pin(small_setup):
     _, p = solver.fields(state)
     # pinned node pressure driven toward zero by the LARGE trick
     assert abs(p[deck.zero_pressure_node]) < 0.05 * np.abs(p).max()
+
+
+def test_partial_final_chunk_matches_exact_total():
+    """run(n_steps=N) with N not a chunk multiple must execute exactly N
+    steps: the returned state equals a 1-step-chunk run of the same N
+    (the loop used to overshoot to the next chunk boundary)."""
+    deck = cavity_deck(2, viscosity=0.1, dt=0.005, t_final=1.0)
+    s_big = ExplicitBCHSolver(deck, SolverConfig(steps_per_chunk=10))
+    s_one = ExplicitBCHSolver(deck, SolverConfig(steps_per_chunk=1))
+    st_big, h_big = s_big.run(n_steps=23)
+    st_one, h_one = s_one.run(n_steps=23)
+    assert len(h_big) == len(h_one) == 23
+    u_b, p_b = s_big.fields(st_big)
+    u_o, p_o = s_one.fields(st_one)
+    np.testing.assert_array_equal(u_b, u_o)
+    np.testing.assert_array_equal(p_b, p_o)
+
+
+def test_steady_flag_carries_across_chunks():
+    """After the in-graph steady stop, later chunks must be monitor-only:
+    the state written at the end equals the state at the steady step (no
+    extra real step from a chunk boundary resetting the flag)."""
+    deck = cavity_deck(2, viscosity=1.0, dt=0.01, t_final=10.0,
+                       convergence=1e-3)
+    # chunk=7 guarantees the steady step lands mid-chunk and that at
+    # least one more chunk is dispatched by the pipelined loop
+    solver = ExplicitBCHSolver(deck, SolverConfig(steps_per_chunk=7))
+    state, hist = solver.run()
+    n_done = hist[-1]["step"]
+    # re-run exactly n_done steps: must reproduce the returned state
+    solver2 = ExplicitBCHSolver(deck, SolverConfig(steps_per_chunk=7))
+    state2, _ = solver2.run(n_steps=int(n_done))
+    u1, p1 = solver.fields(state)
+    u2, p2 = solver2.fields(state2)
+    np.testing.assert_array_equal(u1, u2)
+    np.testing.assert_array_equal(p1, p2)
