@@ -98,10 +98,6 @@ def _safe_div(a, b):
     return jnp.where(zero, 0.0, a / jnp.where(zero, 1.0, b))
 
 
-def _tol_bound(b, tol, atol):
-    return jnp.maximum(tol * _max(_norm(b)), atol)
-
-
 def cg(
     matvec: Callable,
     b: jax.Array,
@@ -163,28 +159,31 @@ def cr(
     p = z
     Az = matvec(z)
     Ap = Az
-    rAz = dot(r, Az)
+    # PCR inner product is (z, Az), NOT (r, Az): the two coincide only
+    # for M = I, so the unpreconditioned tests could never catch the
+    # difference — with Jacobi M the (r, Az) form genuinely diverges
+    zAz = dot(z, Az)
     bound = jnp.maximum(tol * _max(norm(b)), atol)
 
     def cond(state):
-        x, r, z, p, Ap, rAz, k = state
+        x, r, z, p, Ap, zAz, k = state
         return (k < maxiter) & (_max(norm(r)) > bound)
 
     def body(state):
-        x, r, z, p, Ap, rAz, k = state
+        x, r, z, p, Ap, zAz, k = state
         MAp = M(Ap)
-        alpha = _safe_div(rAz, dot(Ap, MAp))
+        alpha = _safe_div(zAz, dot(Ap, MAp))
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
         Az = matvec(z)
-        rAz_new = dot(r, Az)
-        beta = _safe_div(rAz_new, rAz)
+        zAz_new = dot(z, Az)
+        beta = _safe_div(zAz_new, zAz)
         p = z + beta * p
         Ap = Az + beta * Ap
-        return x, r, z, p, Ap, rAz_new, k + 1
+        return x, r, z, p, Ap, zAz_new, k + 1
 
-    x, r, z, p, Ap, rAz, k = lax.while_loop(cond, body, (x, r, z, p, Ap, rAz, 0))
+    x, r, z, p, Ap, zAz, k = lax.while_loop(cond, body, (x, r, z, p, Ap, zAz, 0))
     return KrylovResult(x, k, _max(norm(r)))
 
 
@@ -216,9 +215,17 @@ def bicg(
             "bicg on a (potentially) nonsymmetric operator needs rmatvec="
             "A^T apply; pass assume_symmetric=True only if A is symmetric"
         )
+    if rmatvec is None:
+        # symmetric: the shadow vectors equal the primal ones identically
+        # (rt=r, pt=p), so running the full recursion would just double
+        # the matvec cost — BiCG literally IS CG here
+        return cg(
+            matvec, b, x0, tol=tol, atol=atol, maxiter=maxiter,
+            precond=precond, dot_dtype=dot_dtype,
+        )
     M = precond or _identity_precond
     dot, norm = _make_dot(dot_dtype)
-    At = rmatvec or matvec
+    At = rmatvec
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - matvec(x)
     rt = r
@@ -407,7 +414,8 @@ def gmres(
     """Restarted GMRES — the reference's CUSP momentum/monolithic solver
     (``oldFiles/segregatedSolver/CUSP_GMRES.cu:75``, restart=100).
 
-    Batched (N, C) right-hand sides are handled per column via ``vmap``.
+    Batched right-hand sides follow the module convention: a (C, N)
+    ``b`` is C independent length-N systems, vmapped over axis 0.
     """
     if b.ndim == 1:
         return _gmres_single(

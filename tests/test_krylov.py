@@ -112,6 +112,27 @@ def test_jacobi_preconditioner_reduces_iterations(rng):
     )
 
 
+def test_preconditioned_cr_converges(rng):
+    """PCR must use the (z, Az) inner product: the (r, Az) form coincides
+    with it only for M=I and genuinely diverges under Jacobi on a badly
+    scaled SPD system (regression for exactly that bug)."""
+    n = 80
+    d = np.geomspace(1.0, 1e6, n)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A = (Q * d) @ Q.T + np.diag(d)
+    b = rng.standard_normal(n)
+    diag = jnp.asarray(np.diag(A))
+    mv = lambda x: jnp.asarray(A) @ x
+    res = krylov.cr(
+        mv, jnp.asarray(b), tol=1e-10, maxiter=3000,
+        precond=lambda r: r / diag,
+    )
+    assert int(res.iters) < 3000
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.linalg.solve(A, b), rtol=1e-4, atol=1e-6
+    )
+
+
 def test_gmres_happy_breakdown(rng):
     """Convergence mid-cycle (rank-deficient Hessenberg) must not NaN —
     the Givens update sends dead columns' coefficients to zero."""
