@@ -99,9 +99,6 @@ class Deck:
         return self.ne if self.nenp == 1 else self.ncn
 
 
-_NUM = r"[-+0-9.eE]+"
-
-
 def _header_fields(text: str) -> dict[str, str]:
     """Parse ``key : value`` header lines into a dict (lowercased keys)."""
     fields = {}
@@ -371,16 +368,16 @@ def write_fractional_deck(path: str | Path, deck: Deck) -> None:
     out.append(f"NENv     : {deck.nenv} ")
     out.append(f"NENp     : {deck.nenp} ")
     out.append(f"NGP      : {deck.ngp} ")
-    out.append(f"alpha    : {deck.alpha if deck.alpha is not None else 1.0:.6f}")
-    out.append(f"dt       : {deck.dt:.6f}")
-    out.append(f"t_ini    : {deck.t_ini:.6f} ")
-    out.append(f"t_final  : {deck.t_final:.6f} ")
+    out.append(f"alpha    : {deck.alpha if deck.alpha is not None else 1.0:.10g}")
+    out.append(f"dt       : {deck.dt:.10g}")
+    out.append(f"t_ini    : {deck.t_ini:.10g} ")
+    out.append(f"t_final  : {deck.t_final:.10g} ")
     out.append(f"maxIter  : {deck.max_iter} ")
-    out.append(f"tolerance: {deck.tolerance:.6f}")
-    out.append(f"converge : {deck.convergence_criteria:.6f} ")
+    out.append(f"tolerance: {deck.tolerance:.10g}")
+    out.append(f"converge : {deck.convergence_criteria:.10g} ")
     out.append(f"isRestart: {int(deck.is_restart)}")
-    out.append(f"density  : {deck.density:.6f} ")
-    out.append(f"viscosity: {deck.viscosity:.6f} ")
+    out.append(f"density  : {deck.density:.10g} ")
+    out.append(f"viscosity: {deck.viscosity:.10g} ")
     out.append(f"fx       : {deck.fx} ")
     out.append(f"fy       : {deck.fy} ")
     out.append("=" * 48)

@@ -21,8 +21,12 @@ _LIB = _HERE / "libcfd_tpu_runtime.so"
 
 
 def _build() -> Path:
-    if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
+    if _LIB.exists() and (
+        not _SRC.exists() or _LIB.stat().st_mtime >= _SRC.stat().st_mtime
+    ):
         return _LIB
+    if not _SRC.exists():
+        raise ImportError(f"native runtime source missing: {_SRC}")
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
         str(_SRC), "-o", str(_LIB),
@@ -35,7 +39,14 @@ def _build() -> Path:
     return _LIB
 
 
-_lib = ctypes.CDLL(str(_build()))
+try:
+    _lib = ctypes.CDLL(str(_build()))
+except ImportError:
+    raise
+except OSError as e:
+    # e.g. a stale -march=native .so copied from another machine: callers
+    # catch ImportError for the numpy fallback, so speak that language
+    raise ImportError(f"native runtime unloadable: {e}") from e
 
 _i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
 _lib.coalesce_pattern.restype = ctypes.c_int64

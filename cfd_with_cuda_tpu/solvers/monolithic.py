@@ -31,7 +31,6 @@ tables of the legacy dialect; ``applyBC`` :1751-1835).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 
 import numpy as np
 import scipy.sparse as sp
@@ -52,10 +51,7 @@ def element_sizes(coords: np.ndarray, conn: np.ndarray) -> np.ndarray:
     return d.max(axis=0)
 
 
-@dataclass
 class _MonolithicBase:
-    deck: Deck
-
     def __init__(self, deck: Deck, *, solver: str = "gmres",
                  solver_tol: float | None = None,
                  solver_maxiter: int | None = None,

@@ -28,7 +28,6 @@ Relaxation factors alpha[0..3] come from the deck (``relaxation`` row).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 
 import numpy as np
 import scipy.sparse as sp
@@ -40,10 +39,7 @@ from cfd_with_cuda_tpu.io.deck import Deck
 __all__ = ["SegregatedSolver"]
 
 
-@dataclass
 class SegregatedSolver:
-    deck: Deck
-
     def __init__(self, deck: Deck, *,
                  pressure_solver: str = "cg",
                  momentum_solver: str = "gmres",
@@ -63,6 +59,13 @@ class SegregatedSolver:
         )
         self.gmres_restart = gmres_restart
         self.alpha = np.asarray(deck.relaxation or (0.5, 0.5, 0.5, 0.5))
+        # the diagonal boost a/(1-a) (ref :1801-1802) needs a in (0, 1):
+        # a=1 would poison the momentum matrix with inf
+        if not (np.all(self.alpha[:3] > 0) and np.all(self.alpha[:3] < 1)):
+            raise ValueError(
+                f"momentum relaxation factors must be in (0, 1), got "
+                f"{self.alpha[:3]}"
+            )
         self._setup()
 
     # ------------------------------------------------------------------ setup
@@ -115,6 +118,16 @@ class SegregatedSolver:
         pn = deck.bc_pres_nodes
         self.pres_nodes = pn[:, 0] if len(pn) else np.empty(0, np.int64)
         self.pres_vals = deck.bc_str[pn[:, 1], 0] if len(pn) else np.empty(0)
+        # nodes where delta_p is pinned to zero in the SCPE solve: the
+        # pressure-BC list, or — for a deck with none (closed cavity in
+        # the fractional-step dialect) — the zero-pressure node, without
+        # which the all-Neumann SCPE matrix is singular
+        if len(self.pres_nodes):
+            self._dp_pin = self.pres_nodes
+        elif deck.zero_pressure_node >= 0:
+            self._dp_pin = np.asarray([deck.zero_pressure_node])
+        else:
+            self._dp_pin = np.empty(0, np.int64)
 
         # viscous+convective grad-grad factors per phase (:1703-1719)
         self._lapw = [
@@ -137,22 +150,29 @@ class SegregatedSolver:
             if pts is not None else np.empty(0, np.int64)
         )
 
-    def _momentum_elemental(self, phase: int, u: np.ndarray, v, w_):
-        """Ke for the phase momentum equation (calcGlobalSys_mom)."""
+    def _conv_elemental(self, u: np.ndarray, v, w_):
+        """rho S (u0 . grad S): phase-independent, so callers build it
+        ONCE per velocity state instead of once per phase (the viscous
+        part is the only per-phase term)."""
         tab = self.tab
-        deck = self.deck
-        nu, rho = deck.viscosity, deck.density
         g = tab.gDSv
         S = tab.Sp
         w = tab.gq_factor
-        factors = np.ones(3)
-        factors[phase] = 2.0
-        visc = sum(factors[d] * self._lapw[d] for d in range(3)) * nu
         uvw = np.stack([u, v, w_], axis=1)           # (NN, 3)
         u0e = uvw[self._conn]
         u0g = np.einsum("ki,eid->ekd", S, u0e)
         adv = np.einsum("ekd,ekjd->ekj", u0g, g)
-        conv = rho * np.einsum("ki,ekj,ek->eij", S, adv, w, optimize=True)
+        return self.deck.density * np.einsum(
+            "ki,ekj,ek->eij", S, adv, w, optimize=True
+        )
+
+    def _momentum_elemental(self, phase: int, conv: np.ndarray):
+        """Ke for the phase momentum equation (calcGlobalSys_mom)."""
+        factors = np.ones(3)
+        factors[phase] = 2.0
+        visc = sum(
+            factors[d] * self._lapw[d] for d in range(3)
+        ) * self.deck.viscosity
         return visc + conv
 
     # ------------------------------------------------------------------ solve
@@ -187,8 +207,9 @@ class SegregatedSolver:
         for it in range(1, max_outer + 1):
             # ---- STEP 1: SCPE  (:2224-2280)
             kdiag = []
+            conv_e = self._conv_elemental(*vel)
             for ph in range(3):
-                ke = self._momentum_elemental(ph, *vel)
+                ke = self._momentum_elemental(ph, conv_e)
                 diag = np.zeros(nn)
                 d_ele = np.einsum("eii->ei", ke)
                 np.add.at(diag, self._conn.ravel(), d_ele.ravel())
@@ -200,13 +221,16 @@ class SegregatedSolver:
                 for d in range(3)
             )
             rhs = -sum(self.CT[d] @ vel[d] for d in range(3))
-            # pressure pin: fix delta_p at pressure-BC nodes
-            lhs = lhs.tolil()
-            for node in self.pres_nodes:
-                lhs.rows[node] = [int(node)]
-                lhs.data[node] = [1.0]
-            lhs = lhs.tocsr()
-            rhs[self.pres_nodes] = 0.0
+            # pressure pin: fix delta_p = 0 at the pin nodes by SYMMETRIC
+            # row/col elimination + unit diagonal (row-only zeroing would
+            # leave the matrix nonsymmetric under the default CG solver;
+            # the eliminated columns multiply dp = 0, so no RHS shift)
+            if len(self._dp_pin):
+                keep_p = np.ones(nn)
+                keep_p[self._dp_pin] = 0.0
+                Dk = sp.diags(keep_p)
+                lhs = (Dk @ lhs @ Dk + sp.diags(1.0 - keep_p)).tocsr()
+                rhs[self._dp_pin] = 0.0
             dp, p_iters = self._krylov(lhs, rhs, self.pressure_solver)
 
             # ---- STEP 2: mass adjustment  (:2284-2322)
@@ -219,8 +243,9 @@ class SegregatedSolver:
             # ---- STEP 3: momentum solves  (:2326-2431)
             new_vel = []
             mom_iters = []
+            conv_e = self._conv_elemental(*vel)
             for ph in range(3):
-                ke = self._momentum_elemental(ph, *vel)
+                ke = self._momentum_elemental(ph, conv_e)
                 tempdiag = np.zeros(nn)
                 d_ele = np.einsum("eii->ei", ke)
                 np.add.at(tempdiag, self._conn.ravel(), d_ele.ravel())

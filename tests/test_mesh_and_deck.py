@@ -97,6 +97,20 @@ def test_deck_roundtrip(tmp_path):
     np.testing.assert_allclose(back.bc_str, deck.bc_str)
 
 
+def test_deck_roundtrip_preserves_sub_micro_scalars(tmp_path):
+    """Header floats below 1e-6 must survive the writer (a fixed %.6f
+    format used to truncate convergence=1e-7 to 0.0, silently disabling
+    the steady-stop criterion on re-read)."""
+    deck = cavity_deck(2, cluster=1.0, dt=5e-7, convergence=1e-7)
+    deck.tolerance = 2.5e-8
+    path = tmp_path / "tiny.inp"
+    write_fractional_deck(path, deck)
+    back = read_deck(path)
+    assert back.dt == 5e-7
+    assert back.convergence_criteria == 1e-7
+    assert back.tolerance == 2.5e-8
+
+
 @pytest.mark.slow
 def test_reference_cavity_deck_parses():
     """The repo's canonical NE27000 deck parses unchanged (BASELINE.json
