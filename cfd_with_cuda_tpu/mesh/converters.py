@@ -19,6 +19,28 @@ from cfd_with_cuda_tpu.io.deck import Deck
 
 __all__ = ["read_neu", "read_unv", "deck_from_mesh"]
 
+# Gambit neutral-file brick nodes are numbered binary-counter style
+# ((0,0,0),(1,0,0),(0,1,0),(1,1,0),...); the deck convention is the
+# bottom-face loop then the top-face loop.  The reference converter writes
+# hex connectivity as LtoG[[1,2,6,5,3,4,8,7]] (neuToInp.m:223-224); this is
+# the same permutation, 0-based.
+GAMBIT_HEX_TO_DECK = np.array([0, 1, 5, 4, 2, 3, 7, 6], dtype=np.int64)
+
+# Gambit's own brick face->corner table (local 0-based, Gambit node order),
+# used to resolve element/face-typed BOUNDARY CONDITIONS records *before*
+# the connectivity is permuted into deck order.
+GAMBIT_HEX_FACES = np.array(
+    [
+        (0, 1, 5, 4),
+        (1, 3, 7, 5),
+        (3, 2, 6, 7),
+        (2, 0, 4, 6),
+        (1, 0, 2, 3),
+        (4, 5, 7, 6),
+    ],
+    dtype=np.int64,
+)
+
 
 def deck_from_mesh(
     coords: np.ndarray,
@@ -129,11 +151,11 @@ def read_neu(path: str | Path):
         rows.append(nodes[:want])
     conn = np.asarray(rows, dtype=np.int64) - 1
 
-    # boundary-condition sections
+    # boundary-condition sections (resolved on the raw Gambit node order,
+    # with Gambit's face tables — the connectivity is permuted afterwards)
     groups: dict[str, np.ndarray] = {}
-    from cfd_with_cuda_tpu.fem.shape import HEX_FACE_CORNERS
 
-    TET_FACES = np.array([[0, 1, 2], [0, 1, 3], [1, 2, 3], [0, 2, 3]])
+    TET_FACES = np.array([[1, 0, 2], [0, 1, 3], [1, 2, 3], [2, 0, 3]])
     start = k - 1
     while True:
         try:
@@ -157,11 +179,13 @@ def read_neu(path: str | Path):
             else:
                 e = int(toks[0]) - 1
                 f = int(toks[2]) - 1
-                table = HEX_FACE_CORNERS if conn.shape[1] == 8 else TET_FACES
+                table = GAMBIT_HEX_FACES if conn.shape[1] == 8 else TET_FACES
                 nodes.update(int(x) for x in conn[e, table[f]])
             read += 1
         groups[name] = np.array(sorted(nodes), dtype=np.int64)
         start = k
+    if conn.shape[1] == 8:
+        conn = conn[:, GAMBIT_HEX_TO_DECK]
     return coords, conn, groups
 
 

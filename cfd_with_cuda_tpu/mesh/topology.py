@@ -53,6 +53,33 @@ class PromotedMesh:
     nn: int
 
 
+def _pack_rows(keys: np.ndarray) -> np.ndarray:
+    """Collision-free int64 scalar key per row of ``keys (n, c)``.
+
+    Plain positional packing (``sum k_i * base**i``) overflows int64 for
+    4-column face keys once the corner-node count passes ~55k — well
+    inside the NE85k/NE125k deck range — and numpy wraps silently, which
+    could merge distinct faces.  When the direct pack would overflow,
+    halve the columns recursively and re-densify each half to its unique
+    ranks (bounded by the row count) before combining.
+    """
+    if keys.size == 0:
+        return np.zeros(0, np.int64)
+    ncols = keys.shape[1]
+    if ncols == 1:
+        return keys[:, 0].copy()
+    base = int(keys.max()) + 1
+    if base ** ncols < 2 ** 62:
+        packed = keys[:, 0]
+        for c in range(1, ncols):
+            packed = packed * base + keys[:, c]
+        return packed
+    mid = ncols // 2
+    left = np.unique(_pack_rows(keys[:, :mid]), return_inverse=True)[1]
+    right = np.unique(_pack_rows(keys[:, mid:]), return_inverse=True)[1]
+    return left * (int(right.max()) + 1) + right
+
+
 def _first_seen_ids(keys: np.ndarray) -> tuple[np.ndarray, int]:
     """Number unique rows of ``keys`` by order of first occurrence.
 
@@ -62,10 +89,7 @@ def _first_seen_ids(keys: np.ndarray) -> tuple[np.ndarray, int]:
     native C++ runtime kernel is used when available.
     """
     keys = np.asarray(keys, dtype=np.int64)
-    base = int(keys.max()) + 1 if keys.size else 1
-    packed = keys[:, 0]
-    for c in range(1, keys.shape[1]):
-        packed = packed * base + keys[:, c]
+    packed = _pack_rows(keys)
     try:
         from cfd_with_cuda_tpu.runtime import native
 

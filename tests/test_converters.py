@@ -6,8 +6,13 @@ from cfd_with_cuda_tpu.mesh.converters import deck_from_mesh, read_neu, read_unv
 from cfd_with_cuda_tpu.mesh.generators import cube_hex_mesh
 
 
-def _write_neu(path, coords, conn, bc):
-    """Minimal Gambit neutral file with one node-typed BC group."""
+# inverse of converters.GAMBIT_HEX_TO_DECK: deck-order hex -> Gambit order
+DECK_HEX_TO_GAMBIT = np.array([0, 1, 4, 5, 3, 2, 7, 6])
+
+
+def _write_neu(path, coords, conn, bc, face_bc=None):
+    """Minimal Gambit neutral file: one node-typed BC group, optionally one
+    element/face-typed group ``face_bc = (name, [(elem, face1based), ...])``."""
     out = []
     out.append("        CONTROL INFO 2.4.6")
     out.append("** GAMBIT NEUTRAL FILE")
@@ -23,6 +28,8 @@ def _write_neu(path, coords, conn, bc):
     out.append("ENDOFSECTION")
     out.append("      ELEMENTS/CELLS 2.4.6")
     for e, row in enumerate(conn):
+        if len(row) == 8:           # deck order -> Gambit brick order
+            row = np.asarray(row)[DECK_HEX_TO_GAMBIT]
         nodes = "".join(f"{v + 1:8d}" for v in row)
         out.append(f"{e + 1:8d} {4:2d} {len(row):2d} {nodes}")
     out.append("ENDOFSECTION")
@@ -31,6 +38,13 @@ def _write_neu(path, coords, conn, bc):
     for nid in bc:
         out.append(f"{nid + 1:10d}")
     out.append("ENDOFSECTION")
+    if face_bc is not None:
+        name, pairs = face_bc
+        out.append("       BOUNDARY CONDITIONS 2.4.6")
+        out.append(f"{name:>32s}{1:8d}{len(pairs):8d}{0:8d}{6:8d}")
+        for e, f in pairs:
+            out.append(f"{e + 1:10d}{4:10d}{f:10d}")
+        out.append("ENDOFSECTION")
     path.write_text("\n".join(out))
 
 
@@ -38,11 +52,13 @@ def test_neu_roundtrip(tmp_path):
     coords, conn = cube_hex_mesh(3)
     inlet = np.flatnonzero(np.isclose(coords[:, 0], 0.0))
     p = tmp_path / "m.neu"
-    _write_neu(p, coords, conn, inlet)
+    # Gambit face 1 of element 0 is the deck-order bottom face (nodes 0..3)
+    _write_neu(p, coords, conn, inlet, face_bc=("wall", [(0, 1)]))
     c2, k2, groups = read_neu(p)
     np.testing.assert_allclose(c2, coords, atol=1e-9)
     np.testing.assert_array_equal(k2, conn)
     np.testing.assert_array_equal(groups["inlet"], inlet)
+    np.testing.assert_array_equal(groups["wall"], np.sort(conn[0, :4]))
 
     deck = deck_from_mesh(
         c2, k2, groups,

@@ -135,3 +135,19 @@ def test_channel_deck_outflow():
     deck = channel_deck(4, 2, 2)
     assert len(deck.bc_out_faces) == 4
     assert deck.ne == 16
+
+
+def test_pack_rows_overflow_safe():
+    """4-column face keys with ~2e6-node ids overflow the direct positional
+    int64 pack; the hierarchical path must induce exactly the same
+    row-equality partition (NE85k+ deck regression)."""
+    from cfd_with_cuda_tpu.mesh.topology import _pack_rows
+
+    rng = np.random.default_rng(0)
+    keys = np.sort(rng.integers(0, 2_000_000, size=(20000, 4)), axis=1)
+    keys[10000:] = keys[:10000]                 # guaranteed duplicate rows
+    packed = _pack_rows(keys.astype(np.int64))
+    order = np.lexsort(keys.T[::-1])
+    same_row = (keys[order][1:] == keys[order][:-1]).all(axis=1)
+    same_key = packed[order][1:] == packed[order][:-1]
+    np.testing.assert_array_equal(same_key, same_row)
