@@ -50,13 +50,17 @@ class ChunkedTimeLoop:
     @property
     def spmd_mesh(self):
         """The n-device mesh for the sharded Pallas fast path
-        (``SolverConfig.spmd_devices`` > 1 with the fused layout active),
-        else None.  A property — not a setup attribute — so snapshot-
-        restored solvers get it too; ``jax.sharding.Mesh`` hashes by
-        device list + axis names, so rebuilding yields jit-cache hits."""
+        (``SolverConfig.spmd_devices`` >= 1 with the fused layout active),
+        else None.  ``spmd_devices=1`` is an explicit opt-in that runs the
+        full shard_map machinery on a 1-device mesh (the ppermutes
+        degenerate to identity) — used to measure the per-chip cost of
+        the SPMD path on single-chip hardware.  A property — not a setup
+        attribute — so snapshot-restored solvers get it too;
+        ``jax.sharding.Mesh`` hashes by device list + axis names, so
+        rebuilding yields jit-cache hits."""
         if (
             getattr(self, "_pallas_layout", False)
-            and int(getattr(self.config, "spmd_devices", 0) or 0) > 1
+            and int(getattr(self.config, "spmd_devices", 0) or 0) >= 1
         ):
             from cfd_with_cuda_tpu.parallel.sharding import make_mesh
 

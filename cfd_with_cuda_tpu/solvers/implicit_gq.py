@@ -553,7 +553,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         use_parity = (
             self._pallas_layout
             and self.elem_structured
-            and int(self.config.spmd_devices or 0) <= 1
+            and int(self.config.spmd_devices or 0) < 1
             and self.config.structured_layout in ("auto", "parity")
         )
         if use_parity:

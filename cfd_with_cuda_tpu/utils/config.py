@@ -124,7 +124,9 @@ class SolverConfig:
     # Multi-chip SPMD over the Pallas fast path: >1 shards the windowed
     # stencil applies over an n-device mesh via shard_map (flat halo
     # ppermutes; parallel/sharded_stencil.py) and runs the coarse-grid
-    # pressure CG replicated.  0/1 = single-device kernels.  The legacy
+    # pressure CG replicated.  0 = single-device kernels; 1 = explicit
+    # opt-in that runs the shard_map machinery on a 1-device mesh (for
+    # measuring the SPMD path's per-chip cost).  The legacy
     # GSPMD path (pure-XLA ops sharded by annotation alone) remains the
     # fallback whenever the fused path is ineligible.
     spmd_devices: int = 0

@@ -123,6 +123,20 @@ def run_row(name):
         cls = ExplicitBCHSolver
         cfg = SolverConfig(dtype_policy=DTypePolicy.F32, **kw)
         n = 20
+    elif name == "spmd1":
+        # sharded fast path on a 1-device mesh: same shard_map window
+        # kernels + halo ppermutes as the multi-chip path, measured on the
+        # single real chip.  The delta vs the headline bench.py number IS
+        # the per-chip cost of the SPMD machinery (multi-chip hardware is
+        # not reachable here; see VERDICT r2 item 6).
+        import jax
+
+        deck, cls = cavity(), ExplicitBCHSolver
+        cfg = SolverConfig(
+            dtype_policy=DTypePolicy.F32, pressure_backend="pallas",
+            pressure_warm_start=True, spmd_devices=jax.device_count(), **kw
+        )
+        n = 50
     elif name == "bfs":
         from cfd_with_cuda_tpu.mesh.generators import bfs_deck
 
@@ -230,7 +244,7 @@ def main():
     enable_compilation_cache()
     rows = sys.argv[1:] or [
         "implicit", "explicit64", "mixed", "ell", "duct", "bendduct",
-        "stokes", "segregated", "ne85", "ne125", "bfs",
+        "stokes", "segregated", "spmd1", "ne85", "ne125", "bfs",
     ]
     results = []
     for name in rows:

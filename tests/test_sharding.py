@@ -256,3 +256,29 @@ def test_sharded_thru_flow_projection_matches_single_device():
         np.asarray(s2.pk), np.asarray(ss.pk), atol=1e-8
     )
     assert float(st2.u_mon[0]) == pytest.approx(float(st2s.u_mon[0]), abs=1e-11)
+
+
+@pytest.mark.pallas  # interpret-mode window kernels: ~2 min on CPU
+def test_spmd1_one_device_mesh_matches_plain_path():
+    """spmd_devices=1 (explicit opt-in) runs the full shard_map fast path
+    on a 1-device mesh — the bench_matrix 'spmd1' row's configuration for
+    measuring the SPMD machinery's per-chip cost.  Its physics must match
+    the plain single-device path."""
+    from cfd_with_cuda_tpu.mesh.generators import cavity_deck
+    from cfd_with_cuda_tpu.solvers.explicit_bch import ExplicitBCHSolver
+    from cfd_with_cuda_tpu.utils.config import DTypePolicy, SolverConfig
+
+    deck = cavity_deck(6, viscosity=0.01, dt=0.002)
+    mons = {}
+    for sd in (0, 1):
+        cfg = SolverConfig(
+            dtype_policy=DTypePolicy.F32, pressure_backend="pallas",
+            pressure_warm_start=True, spmd_devices=sd,
+            pressure_cg_tol=1e-6, steps_per_chunk=2, setup_cache=None,
+        )
+        solver = ExplicitBCHSolver(deck, cfg)
+        assert (solver.spmd_mesh is not None) == (sd == 1)
+        _, hist = solver.run(n_steps=4)
+        mons[sd] = hist[-1]["u_mon"]
+    assert np.isfinite(mons[0]) and np.isfinite(mons[1])
+    assert mons[0] == pytest.approx(mons[1], rel=1e-6, abs=1e-12)
