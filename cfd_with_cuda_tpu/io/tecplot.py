@@ -73,18 +73,35 @@ def write_tecplot(
         interpolate_pressure_to_all_nodes(p, ltog_node, nn) if quadratic
         else np.asarray(p)
     )
-    with path.open("w") as f:
-        f.write(f"TITLE = {title}\n")
-        f.write("VARIABLES = x,  y,  z,  u, v, w, p\n")
-        n_out = 8 * ne if quadratic else ne
-        f.write(f"ZONE N={nn}, E={n_out}, F=FEPOINT, ET=BRICK\n")
-        data = np.column_stack([coords, u, p_all])
-        np.savetxt(f, data, fmt="%.11e")
-        if quadratic:
-            sub = ltog_node[:, SUB_HEXES] + 1        # (NE, 8, 8), 1-based
-            np.savetxt(f, sub.reshape(-1, 8), fmt="%d")
-        else:
-            np.savetxt(f, ltog_node[:, :8] + 1, fmt="%d")
+    # write-temp-then-rename: this writer also produces the auto-loaded
+    # restart checkpoint (solvers/base._write_restart_next_to), so a crash
+    # mid-dump must not truncate the previous good file
+    import os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(
+        dir=str(path.parent), prefix=path.name + ".", suffix=".tmp"
+    )
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(f"TITLE = {title}\n")
+            f.write("VARIABLES = x,  y,  z,  u, v, w, p\n")
+            n_out = 8 * ne if quadratic else ne
+            f.write(f"ZONE N={nn}, E={n_out}, F=FEPOINT, ET=BRICK\n")
+            data = np.column_stack([coords, u, p_all])
+            np.savetxt(f, data, fmt="%.11e")
+            if quadratic:
+                sub = ltog_node[:, SUB_HEXES] + 1    # (NE, 8, 8), 1-based
+                np.savetxt(f, sub.reshape(-1, 8), fmt="%d")
+            else:
+                np.savetxt(f, ltog_node[:, :8] + 1, fmt="%d")
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def read_restart(

@@ -61,10 +61,10 @@ class _MonolithicBase:
         self.deck = deck
         self.solver_name = solver
         self.solver_tol = solver_tol if solver_tol is not None else (
-            deck.solver_tol or 1e-10
+            deck.solver_tol if deck.solver_tol is not None else 1e-10
         )
         self.solver_maxiter = solver_maxiter if solver_maxiter is not None else (
-            deck.solver_iter_max or 1000
+            deck.solver_iter_max if deck.solver_iter_max is not None else 1000
         )
         self.gmres_restart = gmres_restart
         self._setup()
@@ -99,65 +99,96 @@ class _MonolithicBase:
             deck.bc_str[pn[:, 1], 0] if len(pn) else np.empty(0)
         )
 
-    # -------------------------------------------------------------- assembly
-    def _blocks(self, u0: np.ndarray):
-        """All elemental blocks as (NE, nen, nen) arrays, GQ-summed."""
-        tab = self.tab
-        deck = self.deck
-        nu, rho = deck.viscosity, deck.density
+        # ---- u0-INDEPENDENT elemental blocks, built ONCE (the Picard
+        # loop re-assembles per iteration; only convection and the
+        # tau-weighted advective GLS terms depend on u0)
+        nu = deck.viscosity
         g = tab.gDSv                                  # (NE, NGP, nen, 3)
         S = tab.Sp                                    # (NGP, nen)
         w = tab.gq_factor                             # (NE, NGP)
+        tau = self._tau()                             # (NE, NGP) constant
+        lap = np.einsum("ekid,ekjd,ek->eij", g, g, w, optimize=True)
+        self._visc_diag = [
+            nu * (lap + np.einsum("eki,ekj,ek->eij", g[..., d], g[..., d],
+                                  w, optimize=True))
+            for d in range(3)
+        ]
+        self._visc_off = {}
+        for d1 in range(3):
+            for d2 in range(d1 + 1, 3):
+                self._visc_off[(d1, d2)] = nu * np.einsum(
+                    "eki,ekj,ek->eij", g[..., d2], g[..., d1], w,
+                    optimize=True,
+                )
+        self._galerkin = [
+            -np.einsum("eki,kj,ek->eij", g[..., d], S, w, optimize=True)
+            for d in range(3)
+        ]
+        self._D = -self._d_scale() * np.einsum(
+            "ek,ekid,ekjd,ek->eij", tau, g, g, w, optimize=True
+        )
+        # assembly index pattern: identical for every Picard iteration
+        # (13 blocks in the fixed add() order below)
+        conn = deck.conn
+        ne, nen = conn.shape
+        r0 = np.repeat(conn, nen, axis=1).ravel()
+        c0 = np.tile(conn, (1, nen)).ravel()
+        rows, cols = [], []
+        for d1 in range(3):
+            for d2 in range(3):
+                rows.append(r0 + d1 * nn)
+                cols.append(c0 + d2 * nn)
+            rows.append(r0 + d1 * nn)
+            cols.append(c0 + 3 * nn)
+            rows.append(r0 + 3 * nn)
+            cols.append(c0 + d1 * nn)
+        rows.append(r0 + 3 * nn)
+        cols.append(c0 + 3 * nn)
+        self._asm_rows = np.concatenate(rows)
+        self._asm_cols = np.concatenate(cols)
+
+    # -------------------------------------------------------------- assembly
+    def _blocks(self, u0: np.ndarray):
+        """All elemental blocks as (NE, nen, nen) arrays, GQ-summed.
+
+        Only convection and the tau-weighted advective GLS terms depend
+        on u0; everything else comes from the ``_setup`` cache."""
+        tab = self.tab
+        deck = self.deck
+        rho = deck.density
+        g = tab.gDSv                                  # (NE, NGP, nen, 3)
+        S = tab.Sp                                    # (NGP, nen)
+        w = tab.gq_factor                             # (NE, NGP)
+        tau = self._tau()                             # (NE, NGP)
 
         u0e = u0[deck.conn]                           # (NE, nen, 3)
         u0g = np.einsum("ki,eid->ekd", S, u0e)        # u0 at GQ
         adv = np.einsum("ekd,ekjd->ekj", u0g, g)      # (u0 . grad Sj)
 
-        lap = np.einsum("ekid,ekjd,ek->eij", g, g, w, optimize=True)
-        dd = [np.einsum("eki,ekj,ek->eij", g[..., d], g[..., d], w,
-                        optimize=True) for d in range(3)]
         conv = np.einsum("ki,ekj,ek->eij", S, adv, w, optimize=True)
-        tau = self._tau(u0g)                          # (NE, NGP)
         gls_ss = np.einsum("ek,eki,ekj,ek->eij", tau, adv, adv, w,
                            optimize=True) * rho**2
 
         A = {}
         for d in range(3):
-            A[(d, d)] = nu * (lap + dd[d]) + rho * conv + gls_ss
-        # off-diagonal viscous blocks: A[(0,1)] = nu dSi/dy dSj/dx etc.
-        for d1 in range(3):
-            for d2 in range(3):
-                if d1 == d2:
-                    continue
-                if d1 < d2:
-                    A[(d1, d2)] = nu * np.einsum(
-                        "eki,ekj,ek->eij", g[..., d2], g[..., d1], w,
-                        optimize=True,
-                    )
-        for d1 in range(3):
-            for d2 in range(3):
-                if d1 > d2:
-                    A[(d1, d2)] = np.swapaxes(A[(d2, d1)], 1, 2)
+            A[(d, d)] = self._visc_diag[d] + rho * conv + gls_ss
+        for (d1, d2), blk in self._visc_off.items():  # d1 < d2
+            A[(d1, d2)] = blk
+            A[(d2, d1)] = np.swapaxes(blk, 1, 2)
 
         B = []
         C = []
         for d in range(3):
-            galerkin = -np.einsum("eki,kj,ek->eij", g[..., d], S, w,
-                                  optimize=True)
-            Bd = galerkin + rho * np.einsum(
+            galerkin = self._galerkin[d]
+            adv_g = rho * np.einsum(
                 "ek,eki,ekj,ek->eij", tau, adv, g[..., d], w, optimize=True
             )
-            Cd = np.swapaxes(galerkin, 1, 2) - rho * np.einsum(
-                "ek,ekj,eki,ek->eij", tau, adv, g[..., d], w, optimize=True
-            )
-            B.append(Bd)
-            C.append(Cd)
-        D = -self._d_scale() * np.einsum(
-            "ek,ekid,ekjd,ek->eij", tau, g, g, w, optimize=True
-        )
-        return A, B, C, D
+            B.append(galerkin + adv_g)
+            C.append(np.swapaxes(galerkin, 1, 2) - np.swapaxes(adv_g, 1, 2))
+        return A, B, C, self._D
 
-    def _tau(self, u0g):
+    def _tau(self):
+        """Constant (NE, NGP) stabilization parameter."""
         raise NotImplementedError
 
     def _d_scale(self) -> float:
@@ -165,30 +196,20 @@ class _MonolithicBase:
 
     def assemble(self, u0: np.ndarray) -> tuple[sp.csr_matrix, np.ndarray]:
         """Monolithic K (4NN x 4NN) with Dirichlet rows applied; RHS F."""
-        deck = self.deck
         nn = self.nn
-        conn = deck.conn
         A, B, C, D = self._blocks(u0)
 
-        ne, nen = conn.shape
-        rows, cols, vals = [], [], []
-
-        def add(block, bi, bj):
-            r = np.repeat(conn, nen, axis=1).ravel() + bi * nn
-            c = np.tile(conn, (1, nen)).ravel() + bj * nn
-            rows.append(r)
-            cols.append(c)
-            vals.append(block.reshape(-1))
-
+        # same fixed block order as the _setup index pattern
+        vals = []
         for d1 in range(3):
             for d2 in range(3):
-                add(A[(d1, d2)], d1, d2)
-            add(B[d1], d1, 3)
-            add(C[d1], 3, d1)
-        add(D, 3, 3)
+                vals.append(A[(d1, d2)].reshape(-1))
+            vals.append(B[d1].reshape(-1))
+            vals.append(C[d1].reshape(-1))
+        vals.append(D.reshape(-1))
 
         K = sp.csr_matrix(
-            (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+            (np.concatenate(vals), (self._asm_rows, self._asm_cols)),
             shape=(self.ndof, self.ndof),
         )
         K.sum_duplicates()
@@ -227,16 +248,18 @@ class _MonolithicBase:
 class GLSNavierStokesSolver(_MonolithicBase):
     """Monolithic GLS NS with Picard iterations (``solve`` :1838-1983)."""
 
-    def _tau(self, u0g):
+    def _tau(self):
         # tau = (1/12) h^2 / nu  (:1361)
         tau = (self.h_e**2 / (12.0 * self.deck.viscosity))
-        return np.broadcast_to(tau[:, None], u0g.shape[:2])
+        return np.broadcast_to(tau[:, None], self.tab.gq_factor.shape)
 
     def solve(self, *, max_picard: int | None = None, tol: float | None = None,
               verbose: bool = False):
         deck = self.deck
-        max_picard = max_picard or deck.max_iter or 20
-        tol = tol if tol is not None else (deck.tolerance or 1e-6)
+        if max_picard is None:
+            max_picard = deck.max_iter if deck.max_iter is not None else 20
+        if tol is None:
+            tol = deck.tolerance if deck.tolerance is not None else 1e-6
         x = np.zeros(self.ndof)
         # initial guess honours the BC values
         nn = self.nn
@@ -277,7 +300,7 @@ class StokesSolver(_MonolithicBase):
         self.tau_mode = tau_mode
         super().__init__(deck, **kw)
 
-    def _tau(self, u0g):
+    def _tau(self):
         if self.tau_mode == "reference":
             tau = np.full(
                 self.h_e.shape, 2.0 * (2.0 / 12.0) / self.deck.viscosity
@@ -286,7 +309,7 @@ class StokesSolver(_MonolithicBase):
             tau = self.h_e**2 / (12.0 * self.deck.viscosity)
         else:
             raise ValueError(f"unknown tau_mode {self.tau_mode!r}")
-        return np.broadcast_to(tau[:, None], u0g.shape[:2])
+        return np.broadcast_to(tau[:, None], self.tab.gq_factor.shape)
 
     def solve(self):
         x0 = np.zeros((self.nn, 3))

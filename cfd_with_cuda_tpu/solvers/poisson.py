@@ -21,8 +21,6 @@ the reference's ``-DCUSP/-DCUSPARSE/-DCULA/-DMKLCG`` compile-time matrix,
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import numpy as np
 
 import jax
@@ -46,7 +44,6 @@ def mms_source(coords: np.ndarray) -> np.ndarray:
     return 12.0 * np.pi**2 * mms_solution(coords)
 
 
-@dataclass
 class PoissonSolver:
     deck: Deck
 
@@ -54,9 +51,11 @@ class PoissonSolver:
                  tol: float | None = None, maxiter: int | None = None):
         self.deck = deck
         self.solver_name = solver
-        self.tol = tol if tol is not None else (deck.solver_tol or 1e-10)
+        self.tol = tol if tol is not None else (
+            deck.solver_tol if deck.solver_tol is not None else 1e-10
+        )
         self.maxiter = maxiter if maxiter is not None else (
-            deck.solver_iter_max or 1000
+            deck.solver_iter_max if deck.solver_iter_max is not None else 1000
         )
         self._setup()
 
@@ -74,7 +73,7 @@ class PoissonSolver:
         ke = a * np.einsum(
             "ekid,ekjd,ek->eij", tab.gDSp, tab.gDSp, tab.gq_factor, optimize=True
         )
-        K = pat.to_scipy(pat.assemble(ke)).tolil()
+        K = pat.to_scipy(pat.assemble(ke))
 
         # essential BC nodes (deck EBC table).  Symmetric elimination:
         # zero BC rows AND columns with unit diagonal (keeps the system
@@ -103,6 +102,16 @@ class PoissonSolver:
         self._cols = jnp.asarray(ell.cols)
         self._diag = jnp.asarray(K.diagonal())
         self._solve = solver_by_name(self.solver_name)
+        # jitted ONCE here (operators as arguments, not closure captures):
+        # re-jitting a fresh lambda per solve() call would retrace and
+        # recompile the whole Krylov loop every time
+        self._jit_solve = jax.jit(
+            lambda b, vals, cols, diag: self._solve(
+                lambda x: ell_spmv(vals, cols, x),
+                b, tol=self.tol, maxiter=self.maxiter,
+                precond=lambda r: r / diag,
+            )
+        )
 
     def rhs(self, source="deck") -> np.ndarray:
         """Assemble F = int S f + EBC overwrites."""
@@ -116,8 +125,12 @@ class PoissonSolver:
         elif source == "deck":
             f_gq = np.full(tab.gq_factor.shape, deck.fxy or 0.0)
         elif callable(source):
+            # flatten to (NE*NGP, 3) like the mms branch so sources
+            # written as f(coords) with coords.T unpacking work unchanged
             xyz_gq = np.einsum("ki,eid->ekd", tab.Sp, deck.coords[deck.conn])
-            f_gq = source(xyz_gq)
+            f_gq = np.asarray(source(xyz_gq.reshape(-1, 3))).reshape(
+                xyz_gq.shape[:2]
+            )
         else:
             raise ValueError(f"unknown source {source!r}")
         fe = np.einsum("ki,ek,ek->ei", tab.Sp, f_gq, tab.gq_factor)
@@ -133,11 +146,5 @@ class PoissonSolver:
     def solve(self, source="deck"):
         """Returns (u (NN,), iterations, residual)."""
         F = jnp.asarray(self.rhs(source))
-        res = jax.jit(
-            lambda b: self._solve(
-                lambda x: ell_spmv(self._vals, self._cols, x),
-                b, tol=self.tol, maxiter=self.maxiter,
-                precond=lambda r: r / self._diag,
-            )
-        )(F)
+        res = self._jit_solve(F, self._vals, self._cols, self._diag)
         return np.asarray(res.x), int(res.iters), float(res.residual)

@@ -167,9 +167,14 @@ def snapshot_store(cache_dir: str | None, key: str, snap: dict) -> None:
     if not cache_dir:
         return
     d = Path(cache_dir)
-    d.mkdir(parents=True, exist_ok=True)
-    # atomic publish: writers never expose a partial pickle
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    # a read-only install must degrade to "no cache", not crash the run
+    # after the expensive host setup (snapshot_load already tolerates it)
+    try:
+        d.mkdir(parents=True, exist_ok=True)
+        # atomic publish: writers never expose a partial pickle
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    except OSError:
+        return
     try:
         with os.fdopen(fd, "wb") as f:
             pickle.dump(snap, f, protocol=5)
@@ -232,7 +237,10 @@ def enable_compilation_cache(path: str | None = None) -> None:
     if path is None:
         root = Path(__file__).resolve().parents[2]
         path = str(root / ".cache" / "xla")
-    Path(path).mkdir(parents=True, exist_ok=True)
+    try:
+        Path(path).mkdir(parents=True, exist_ok=True)
+    except OSError:
+        return              # read-only install: run without the cache
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

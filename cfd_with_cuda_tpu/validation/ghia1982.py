@@ -25,7 +25,10 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["GHIA_U", "GHIA_V", "BAND_3D", "centerline_profiles"]
+__all__ = [
+    "GHIA_U", "GHIA_V", "BAND_3D", "centerline_profiles",
+    "check_against_ghia",
+]
 
 # acceptance band (absolute) for 3-D mid-plane vs 2-D Ghia comparison
 BAND_3D = 0.06
@@ -96,9 +99,10 @@ def centerline_profiles(coords: np.ndarray, u: np.ndarray, tol: float = 1e-9):
     return coords[iv, 2], u[iv, 0], coords[ih, 0], u[ih, 2]
 
 
-def check_against_ghia(z, u_x, x, u_z, re: int = 100, band: float = BAND_3D):
+def check_against_ghia(z, u_x, x, u_z, re: int = 100):
     """Max |3-D mid-plane profile - Ghia 2-D| at Ghia's sample points
-    (linear interpolation onto them).  Returns (max_err_u, max_err_v)."""
+    (linear interpolation onto them).  Returns (max_err_u, max_err_v);
+    the acceptance decision (vs e.g. ``BAND_3D``) is the caller's."""
     col = {100: 1, 1000: 2}[re]
     u_interp = np.interp(GHIA_U[:, 0], z, u_x)
     v_interp = np.interp(GHIA_V[:, 0], x, u_z)
