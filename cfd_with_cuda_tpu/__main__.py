@@ -31,11 +31,13 @@ def _resolve_deck(arg: str) -> Path:
         p = p / "ProblemName.txt"
     if p.name == "ProblemName.txt" or (p.suffix == ".txt" and p.exists()):
         # a missing/empty pointer file should fall through to the caller's
-        # "deck not found" error, not crash on read_text()/split()[0]
-        words = p.read_text().split() if p.exists() else []
-        # empty pointer file: return a path that cannot exist so the
-        # caller's "deck not found" error names the real problem
-        name = words[0] if words else "<empty-ProblemName.txt>"
+        # "deck not found" error, not crash on read_text()/split()[0] —
+        # and the sentinel must name the REAL problem (missing vs empty)
+        if not p.exists():
+            name = "<missing-ProblemName.txt>"
+        else:
+            words = p.read_text().split()
+            name = words[0] if words else "<empty-ProblemName.txt>"
         return p.parent / f"{name}.inp"
     return p
 
@@ -67,6 +69,17 @@ def main(argv=None) -> int:
     ap.add_argument("--quiet", action="store_true",
                     help="suppress the per-step monitor table")
     args = ap.parse_args(argv)
+
+    if args.dtype in ("f64", "mixed"):
+        # without x64, jnp.asarray silently downcasts every f64 array to
+        # f32 and the MIXED policy's f64 Krylov reductions truncate back
+        # (utils/config.krylov_dot_dtype) — the run would LOOK like f64
+        # while computing in f32 and spinning on unreachable tolerances.
+        # A config update works even though the axon sitecustomize has
+        # already imported jax (env vars would be too late here).
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
 
     deck_path = _resolve_deck(args.problem)
     if not deck_path.exists():

@@ -27,9 +27,12 @@ entry point that
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import scipy.sparse as sp
 
+import jax
 import jax.numpy as jnp
 
 from cfd_with_cuda_tpu.fem.sparse import ell_from_csr
@@ -80,20 +83,71 @@ def _dense_lu_solve(
     for _ in range(max_refine + 1):
         x += np.asarray(apply_lu(jnp.asarray(r)), dtype=np.float64)
         rounds += 1
+        if not np.isfinite(x).all():
+            # jax lu_factor produces inf/NaN factors for a singular
+            # matrix WITHOUT raising; fail loudly instead of returning
+            # all-NaN fields with a plausible rounds count
+            raise np.linalg.LinAlgError(
+                "dense_lu: non-finite solution — matrix is singular or "
+                "numerically rank-deficient (missing pressure pin?)"
+            )
         r = bf - A @ x
         if float(np.linalg.norm(r)) <= tol * bnorm:
             break
     return x, rounds
 
 
-def _ell_matvec(A: sp.csr_matrix):
+@functools.lru_cache(maxsize=64)
+def _jitted_krylov(name: str, tol: float, maxiter: int, restart: int,
+                   with_rmatvec: bool):
+    """One jitted Krylov runner per (method, tolerances) combination.
+
+    Operators enter as ARGUMENTS (ELL vals/cols arrays), so repeated
+    solves — the Picard / segregated outer loops call ``solve_csr`` once
+    per iteration — hit jax's jit cache instead of re-tracing and
+    re-compiling the whole while-loop every call (the retrace dominated
+    those solvers' wall clock; same fix as solvers/poisson.py)."""
+    solver = solver_by_name(name)
+
+    def run(vals, cols, b, diag, rvals, rcols):
+        kwargs: dict = dict(
+            tol=tol, maxiter=maxiter, precond=lambda r: r / diag
+        )
+        if name == "gmres":
+            kwargs["restart"] = restart
+        if with_rmatvec:
+            kwargs["rmatvec"] = lambda x: ell_spmv(rvals, rcols, x)
+        return solver(lambda x: ell_spmv(vals, cols, x), b, **kwargs)
+
+    return jax.jit(run)
+
+
+def _ell_pack(A: sp.csr_matrix, cache: dict | None, key: str):
+    """(cols device array, vals device array) for A in slot-major ELL.
+
+    With a caller-owned ``cache`` dict, the pattern pack and the device
+    cols upload happen once per sparsity pattern; later calls with the
+    same pattern only refresh values (``EllMatrix.with_values``)."""
+    if cache is not None:
+        ent = cache.get(key)
+        if (
+            ent is not None
+            and ent["shape"] == A.shape
+            and np.array_equal(ent["indptr"], A.indptr)
+            and np.array_equal(ent["indices"], A.indices)
+        ):
+            return ent["cols_dev"], jnp.asarray(ent["ell"].with_values(A.data))
     ell = ell_from_csr(
         A.indptr.astype(np.int64), A.indices.astype(np.int64), A.data,
         n_cols=A.shape[1],
     )
-    vals = jnp.asarray(ell.vals)
-    cols = jnp.asarray(ell.cols)
-    return lambda x: ell_spmv(vals, cols, x)
+    cols_dev = jnp.asarray(ell.cols)
+    if cache is not None:
+        cache[key] = dict(
+            shape=A.shape, indptr=A.indptr.copy(),
+            indices=A.indices.copy(), ell=ell, cols_dev=cols_dev,
+        )
+    return cols_dev, jnp.asarray(ell.vals)
 
 
 def solve_csr(
@@ -104,6 +158,7 @@ def solve_csr(
     tol: float = 1e-10,
     maxiter: int = 1000,
     gmres_restart: int = 100,
+    cache: dict | None = None,
 ) -> tuple[np.ndarray, int]:
     """Solve A x = b; returns (x numpy, iterations; 1 for direct).
 
@@ -111,6 +166,10 @@ def solve_csr(
     jitted on device with Jacobi preconditioning), ``"splu"`` (host
     scipy LU — the PARDISO capability row), or ``"dense_lu"`` (device
     dense LU on the MXU + f64 iterative refinement; small systems only).
+
+    ``cache``: caller-owned dict for outer loops that re-solve on the
+    SAME sparsity pattern with fresh values every iteration (Picard,
+    segregated): skips the per-call ELL pattern pack + cols upload.
     """
     if name == "splu":
         lu = sp.linalg.splu(A.tocsc())
@@ -120,14 +179,20 @@ def solve_csr(
 
     diag = np.asarray(A.diagonal())
     diag = np.where(diag == 0.0, 1.0, diag)
-    diagj = jnp.asarray(diag)
-    kwargs: dict = dict(tol=tol, maxiter=maxiter, precond=lambda r: r / diagj)
-    if name == "gmres":
-        kwargs["restart"] = gmres_restart
+    # key by shape+nnz so one cache dict serves the distinct systems an
+    # outer loop alternates between (momentum NN-sized vs pressure
+    # NNp-sized) without thrashing a single slot
+    akey = f"A:{A.shape[0]}x{A.shape[1]}:{A.nnz}"
+    cols, vals = _ell_pack(A, cache, akey)
     if name == "bicg":
         # true transpose apply — see module docstring
-        kwargs["rmatvec"] = _ell_matvec(A.T.tocsr())
-    res = solver_by_name(name)(_ell_matvec(A), jnp.asarray(b), **kwargs)
+        rcols, rvals = _ell_pack(A.T.tocsr(), cache, "t" + akey)
+    else:
+        rcols, rvals = cols, vals
+    fn = _jitted_krylov(
+        name, float(tol), int(maxiter), int(gmres_restart), name == "bicg"
+    )
+    res = fn(vals, cols, jnp.asarray(b), jnp.asarray(diag), rvals, rcols)
     # np.array (copy): callers mutate the returned fields in place, and
     # views of jax arrays are read-only
     return np.array(res.x), int(res.iters)

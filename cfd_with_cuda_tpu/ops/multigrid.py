@@ -107,6 +107,18 @@ def build_mg_hierarchy(
         Z.sort_indices()
         cur = tuple(-(-c // 2) for c in cur)
     dim_list.append(cur)
+    size = cur[0] * cur[1] * cur[2]
+    if size > 16 * min_size:
+        # coarsening stalled far above the dense-solve scale — e.g. a
+        # pseudo-2D slab grid like (129,129,3) hits the min(cur)<5 break
+        # on its thin axis with the whole fine operator still in Z; a
+        # dense inverse there is O(size^2) memory / O(size^3) flops.
+        # Callers treat this as "MG not applicable" and fall back.
+        raise ValueError(
+            f"MG coarsening stalled at dims {cur} (size {size}): grid too "
+            "anisotropic/thin for isotropic 2x coarsening; use the Jacobi "
+            "preconditioner for this mesh"
+        )
     zinv = np.linalg.inv(Z.toarray()).astype(dtype)
     return {
         "wins": wins, "diags": diags, "dims": dim_list, "radii": radii,
@@ -153,13 +165,13 @@ def mg_restrict(r: jax.Array, fine_dims) -> jax.Array:
 
 
 def mg_prolong(xc: jax.Array, coarse_dims, fine_dims) -> jax.Array:
-    """P xc: zero-stuff the coarse field at even fine positions, then the
-    stride-1 trilinear conv fills the in-between nodes."""
-    cx, cy, cz = coarse_dims
-    fx, fy, fz = fine_dims
-    pf = jnp.zeros((fz, fy, fx), xc.dtype)
-    pf = pf.at[::2, ::2, ::2].set(xc.reshape(cz, cy, cx))
-    return _conv3(pf.reshape(-1), fine_dims, 1)
+    """P xc: zero-stuff the coarse field at even fine positions
+    (``ops.stencil.coarse_to_fine`` — the one even-position embed
+    convention), then the stride-1 trilinear conv fills the in-between
+    nodes."""
+    from cfd_with_cuda_tpu.ops.stencil import coarse_to_fine
+
+    return _conv3(coarse_to_fine(xc, coarse_dims, fine_dims), fine_dims, 1)
 
 
 def make_vcycle(params: dict, dims: list, radii: list,

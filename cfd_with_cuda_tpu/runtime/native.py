@@ -27,13 +27,28 @@ def _build() -> Path:
         return _LIB
     if not _SRC.exists():
         raise ImportError(f"native runtime source missing: {_SRC}")
+    # compile to a temp name and os.replace into place: a killed build or
+    # two processes building concurrently must never leave a corrupt .so
+    # whose fresh mtime permanently disables the native runtime
+    import os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(
+        dir=_HERE, prefix=_LIB.name + ".", suffix=".tmp.so"
+    )
+    os.close(fd)
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        str(_SRC), "-o", str(_LIB),
+        str(_SRC), "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(tmp, _LIB)
     except (OSError, subprocess.CalledProcessError) as e:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         detail = getattr(e, "stderr", "") or str(e)
         raise ImportError(f"native runtime build failed: {detail}") from e
     return _LIB

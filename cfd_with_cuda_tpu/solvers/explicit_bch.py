@@ -469,15 +469,21 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
 
             inv_p = np.argsort(perm_p)          # flat grid id -> node id
             Zg = Z[inv_p][:, inv_p].tocsr()
-            mg = build_mg_hierarchy(Zg, gi_p.dims, dtype=dtype)
-            self.mg_dims = mg["dims"]
-            self.mg_radii = mg["radii"]
-            self.mg_omegas = mg["omegas"]
-            for lvl, (w, dg) in enumerate(zip(mg["wins"], mg["diags"])):
-                self.d[f"mg_win_{lvl}"] = w
-                self.d[f"mg_diag_{lvl}"] = dg
-            self.d["mg_zinv"] = mg["zinv"]
-            self.use_mg = True
+            try:
+                mg = build_mg_hierarchy(Zg, gi_p.dims, dtype=dtype)
+            except ValueError:
+                if self.config.pressure_precond == "mg":
+                    raise              # explicit request: fail loudly
+                mg = None              # auto: Jacobi fallback
+            if mg is not None:
+                self.mg_dims = mg["dims"]
+                self.mg_radii = mg["radii"]
+                self.mg_omegas = mg["omegas"]
+                for lvl, (w, dg) in enumerate(zip(mg["wins"], mg["diags"])):
+                    self.d[f"mg_win_{lvl}"] = w
+                    self.d[f"mg_diag_{lvl}"] = dg
+                self.d["mg_zinv"] = mg["zinv"]
+                self.use_mg = True
 
         # ---- parity-split (class-major) field layout: the fused path's
         # remaining stride-2 ops (convection gather/scatter, coarse

@@ -234,9 +234,12 @@ class _MonolithicBase:
     def _solve_linear(self, K: sp.csr_matrix, F: np.ndarray) -> tuple[np.ndarray, int]:
         from cfd_with_cuda_tpu.ops.linsolve import solve_csr
 
+        if not hasattr(self, "_lin_cache"):
+            self._lin_cache = {}    # Picard re-solves on one pattern
         return solve_csr(
             K, F, self.solver_name, tol=self.solver_tol,
             maxiter=self.solver_maxiter, gmres_restart=self.gmres_restart,
+            cache=self._lin_cache,
         )
 
     def fields(self, x: np.ndarray):

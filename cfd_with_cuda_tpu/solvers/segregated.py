@@ -179,9 +179,11 @@ class SegregatedSolver:
     def _krylov(self, A: sp.csr_matrix, b: np.ndarray, name: str):
         from cfd_with_cuda_tpu.ops.linsolve import solve_csr
 
+        if not hasattr(self, "_lin_cache"):
+            self._lin_cache = {}    # outer iters re-solve on 2 patterns
         return solve_csr(
             A, b, name, tol=self.solver_tol, maxiter=self.solver_maxiter,
-            gmres_restart=self.gmres_restart,
+            gmres_restart=self.gmres_restart, cache=self._lin_cache,
         )
 
     def solve(self, *, max_outer: int | None = None, tol: float | None = None,

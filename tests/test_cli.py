@@ -47,3 +47,13 @@ def test_cli_run_and_restart_roundtrip(tmp_path):
     )
     rc = main([str(d), "--quiet", "--chunk", "5", "--steps", "5"])
     assert rc == 0
+
+
+def test_resolve_deck_missing_pointer_names_the_problem(tmp_path):
+    from cfd_with_cuda_tpu.__main__ import _resolve_deck
+
+    out = _resolve_deck(str(tmp_path))
+    assert "<missing-ProblemName.txt>" in out.name
+    (tmp_path / "ProblemName.txt").write_text("")
+    out = _resolve_deck(str(tmp_path))
+    assert "<empty-ProblemName.txt>" in out.name

@@ -141,3 +141,20 @@ def test_implicit_solver_mg_matches_jacobi():
         # pressure differences, hence the looser band than the explicit test
         np.testing.assert_allclose(a["u_mon"], b["u_mon"], atol=1e-7)
         np.testing.assert_allclose(a["p_mon"], b["p_mon"], atol=1e-6)
+
+
+def test_mg_hierarchy_raises_on_thin_slab_grid():
+    """Coarsening that stalls far above the dense-solve scale (pseudo-2D
+    slab: min(dims) < 5 at entry) must raise, not dense-invert the whole
+    fine operator (review finding: (129,129,3) would try a ~50k^2 dense
+    inverse under pressure_precond='auto')."""
+    import pytest
+    import scipy.sparse as sp
+
+    from cfd_with_cuda_tpu.ops.multigrid import build_mg_hierarchy
+
+    dims = (33, 33, 3)
+    n = dims[0] * dims[1] * dims[2]
+    Z = sp.identity(n, format="csr")
+    with pytest.raises(ValueError, match="coarsening stalled"):
+        build_mg_hierarchy(Z, dims)
