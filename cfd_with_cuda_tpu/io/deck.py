@@ -302,13 +302,15 @@ def _read_legacy(lines: list[str], fields: dict[str, str]) -> Deck:
 
     try:
         i = _find_line(lines, r"nMonitorPoints\s*:", i)
-        nmon = int(lines[i].split(":")[1])
-        if nmon:
-            mon, i = _tokens_after(lines, i + 2, nmon, 4)
-            d.monitor_points = mon[:, 1:]
-            d.monitor_xyz = d.monitor_points[0]
     except ValueError:
-        pass
+        return d        # optional section absent: monitor default point
+    # the section IS declared: malformed data must fail loudly here, not
+    # silently fall back to monitoring the default (0.5, 0.5, 0.5)
+    nmon = int(lines[i].split(":")[1])
+    if nmon:
+        mon, i = _tokens_after(lines, i + 2, nmon, 4)
+        d.monitor_points = mon[:, 1:]
+        d.monitor_xyz = d.monitor_points[0]
     return d
 
 

@@ -554,9 +554,12 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                 )
             except ValueError:
                 self.conv_route = None
-            # the step never touches the interleaved big tables: drop
-            # them from HBM + the snapshot (~800 MB at NE27000)
-            for key in ("K_vals", "G_win", "GT_win", "Z_win"):
+            # the step never touches the interleaved big tables (nor the
+            # interleaved mask/mass vectors it just split into *_p
+            # copies): drop them from HBM + the snapshot (~800 MB at
+            # NE27000)
+            for key in ("K_vals", "G_win", "GT_win", "Z_win",
+                        "md_inv", "md_orig_inv", "bc_mask", "bc_vel"):
                 self.d.pop(key, None)
 
     # ----------------------------------------------------------- initial state

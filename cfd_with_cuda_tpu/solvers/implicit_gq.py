@@ -260,7 +260,6 @@ class ImplicitGQSolver(ChunkedTimeLoop):
                 )
             self.d = {k: jnp.asarray(v) for k, v in self.d.items()}
             return
-        self.s_pad = mesh.nn
 
         mk_ell = ell_from_csr(pat, values=mk_vals)
         m_ell = ell_from_csr(pat, values=ops.M)
@@ -586,61 +585,71 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             for p in range(8):
                 col = mkp[0, self.diag_planes[p]]
                 mkp[0, self.diag_planes[p]] = np.where(col == 0.0, 1.0, col)
-            self.conv_route = pstl.build_conv_assembly_route(
-                self.local_off, self.a_pairs, (cx, cy, cz)
-            )
-            mp, self.m_pairs = pstl.build_parity_apply_tables(
-                np.asarray(self.d["M_vals"]), offs_a, (fx, fy, fz)
-            )
-            r = self.g_radius
-            offs_g = tuple(
-                (dx, dy, dz)
-                for dz in range(-r, r + 1)
-                for dy in range(-r, r + 1)
-                for dx in range(-r, r + 1)
-            )
-            gp, self.g_pairs = pstl.build_parity_apply_tables(
-                self.d["G_win"], offs_g, (fx, fy, fz)
-            )
-            assert all(
-                pp == 0 for cls_ in self.g_pairs for (_, pp, _) in cls_
-            )
-            self.d["MKp"] = np.asarray(mkp, dtype)
-            self.d["Mp"] = np.asarray(mp, dtype)
-            self.d["Gp"] = np.asarray(gp, dtype)
-            self.d["bc_mask_p"] = pstl.parity_split_table(
-                self.d["bc_mask"], (fx, fy, fz), sp_c
-            )
-            # elemental Dirichlet row mask, gathered ONCE at setup (the
-            # per-step body must not re-gather a constant inside the
-            # chunk while-loop — XLA does not hoist it out)
-            self.d["bc_mask_e"] = np.asarray(
-                pstl.parity_gather_elem(
-                    self.d["bc_mask_p"][None],
-                    self.elem_dims, (cx, cy, cz),
-                )[0],
-                dtype,
-            )
-            self.d["bc_vel_p"] = pstl.parity_split_table(
-                self.d["bc_vel"], (fx, fy, fz), sp_c
-            )
-            mxyz = (
-                self.monitor_node % fx,
-                (self.monitor_node // fx) % fy,
-                self.monitor_node // (fx * fy),
-            )
-            self.mon_cls = (
-                (mxyz[2] & 1) * 2 + (mxyz[1] & 1)
-            ) * 2 + (mxyz[0] & 1)
-            self.mon_q = (
-                (mxyz[2] >> 1) * cy + (mxyz[1] >> 1)
-            ) * cx + (mxyz[0] >> 1)
-            # the step never touches the interleaved big tables: drop
-            # them from HBM + the snapshot
-            for key in ("MK_vals", "M_vals", "G_win", "GT_win", "Z_win",
-                        "row_mask_grid", "diag_add_grid", "bc_mask",
-                        "bc_vel"):
-                self.d.pop(key, None)
+            try:
+                self.conv_route = pstl.build_conv_assembly_route(
+                    self.local_off, self.a_pairs, (cx, cy, cz)
+                )
+            except ValueError:
+                # Dirichlet masking zeroed an entire (class, offset)
+                # plane (one-element-thin box between opposing walls), so
+                # the per-step parity LHS assembly cannot route.  Unlike
+                # the explicit solver (which survives matrix-free,
+                # explicit_bch.py), this path NEEDS the route — fall back
+                # to the interleaved layout for the whole solver.
+                self.layout = "interleaved"
+            if self.layout == "parity":
+                mp, self.m_pairs = pstl.build_parity_apply_tables(
+                    np.asarray(self.d["M_vals"]), offs_a, (fx, fy, fz)
+                )
+                r = self.g_radius
+                offs_g = tuple(
+                    (dx, dy, dz)
+                    for dz in range(-r, r + 1)
+                    for dy in range(-r, r + 1)
+                    for dx in range(-r, r + 1)
+                )
+                gp, self.g_pairs = pstl.build_parity_apply_tables(
+                    self.d["G_win"], offs_g, (fx, fy, fz)
+                )
+                assert all(
+                    pp == 0 for cls_ in self.g_pairs for (_, pp, _) in cls_
+                )
+                self.d["MKp"] = np.asarray(mkp, dtype)
+                self.d["Mp"] = np.asarray(mp, dtype)
+                self.d["Gp"] = np.asarray(gp, dtype)
+                self.d["bc_mask_p"] = pstl.parity_split_table(
+                    self.d["bc_mask"], (fx, fy, fz), sp_c
+                )
+                # elemental Dirichlet row mask, gathered ONCE at setup
+                # (the per-step body must not re-gather a constant inside
+                # the chunk while-loop — XLA does not hoist it out)
+                self.d["bc_mask_e"] = np.asarray(
+                    pstl.parity_gather_elem(
+                        self.d["bc_mask_p"][None],
+                        self.elem_dims, (cx, cy, cz),
+                    )[0],
+                    dtype,
+                )
+                self.d["bc_vel_p"] = pstl.parity_split_table(
+                    self.d["bc_vel"], (fx, fy, fz), sp_c
+                )
+                mxyz = (
+                    self.monitor_node % fx,
+                    (self.monitor_node // fx) % fy,
+                    self.monitor_node // (fx * fy),
+                )
+                self.mon_cls = (
+                    (mxyz[2] & 1) * 2 + (mxyz[1] & 1)
+                ) * 2 + (mxyz[0] & 1)
+                self.mon_q = (
+                    (mxyz[2] >> 1) * cy + (mxyz[1] >> 1)
+                ) * cx + (mxyz[0] >> 1)
+                # the step never touches the interleaved big tables: drop
+                # them from HBM + the snapshot
+                for key in ("MK_vals", "M_vals", "G_win", "GT_win",
+                            "Z_win", "row_mask_grid", "diag_add_grid",
+                            "bc_mask", "bc_vel"):
+                    self.d.pop(key, None)
 
     # ----------------------------------------------------------------- state
     def initial_state(self) -> ImplicitState:
