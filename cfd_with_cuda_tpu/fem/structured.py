@@ -24,7 +24,11 @@ from dataclasses import dataclass
 import numpy as np
 import scipy.sparse as sp
 
-__all__ = ["GridIndex", "DiaOperator", "detect_structured_grid", "detect_structured_elements", "dia_from_csr"]
+__all__ = [
+    "GridIndex", "DiaOperator", "PromotedBoxInfo",
+    "detect_structured_grid", "detect_structured_elements",
+    "detect_promoted_box", "dia_from_csr", "shard_pad_size",
+]
 
 
 @dataclass(frozen=True)
@@ -208,3 +212,97 @@ def dia_from_csr(
         slots = inverse * size + row_grid[coo.row]
         return op, slots
     return op
+
+
+@dataclass(frozen=True)
+class PromotedBoxInfo:
+    """A promoted Q2/Q1 mesh recognised as a box grid: the shared
+    detection prologue of both fractional-step solvers' structured paths
+    (explicit_bch/implicit_gq ``_try_structured``).
+
+    ``perm``/``perm_p``: node id -> fine/coarse flat grid id;
+    ``embed``: fine flat id of each coarse node's (2I, 2J, 2K) slot;
+    element structure (``elem_*``/``chan_order``/``local_off``) is None
+    when the element walk is not itself a box grid.
+    """
+
+    fine_dims: tuple[int, int, int]
+    coarse_dims: tuple[int, int, int]
+    perm: np.ndarray
+    perm_p: np.ndarray
+    embed: np.ndarray
+    elem_perm: np.ndarray | None
+    elem_dims: tuple[int, int, int] | None
+    chan_order: np.ndarray | None
+    local_off: tuple | None
+
+    @property
+    def size(self) -> int:
+        fx, fy, fz = self.fine_dims
+        return fx * fy * fz
+
+    def permute_vec(self, v: np.ndarray) -> np.ndarray:
+        """Node order -> fine grid order (last-axis for ndim > 1)."""
+        out = np.empty_like(v)
+        out[..., self.perm] = v
+        return out
+
+    def permute_vec_p(self, v: np.ndarray) -> np.ndarray:
+        out = np.empty_like(v)
+        out[..., self.perm_p] = v
+        return out
+
+
+def detect_promoted_box(
+    coords: np.ndarray, nnp: int, ltog_node: np.ndarray
+) -> PromotedBoxInfo | None:
+    """Recognise a promoted mesh as fine (2n+1)^3 over coarse (n+1)^3 box
+    grids with the corner nodes exactly at their embedded fine slots."""
+    gi = detect_structured_grid(coords)
+    if gi is None:
+        return None
+    gi_p = detect_structured_grid(coords[:nnp])
+    if gi_p is None:
+        return None
+    fx, fy, fz = gi.dims
+    cx, cy, cz = gi_p.dims
+    if (fx, fy, fz) != (2 * cx - 1, 2 * cy - 1, 2 * cz - 1):
+        return None
+    perm = gi.flat_of_node
+    perm_p = gi_p.flat_of_node
+    I = perm_p % cx
+    J = (perm_p // cx) % cy
+    Kc = perm_p // (cx * cy)
+    embed = (2 * Kc * fy + 2 * J) * fx + 2 * I
+    if not np.array_equal(perm[:nnp], embed):
+        return None
+    em = detect_structured_elements(ltog_node, perm, (fx, fy, fz))
+    if em is None:
+        elem_perm = elem_dims = chan_order = local_off = None
+    else:
+        elem_perm, elem_dims, local = em
+        # local-node axis in window-channel order (z-major window scan)
+        # so the stride-2 patches gather needs no permutation
+        chan = (local[:, 2] * 3 + local[:, 1]) * 3 + local[:, 0]
+        chan_order = np.argsort(chan)
+        local_off = tuple(
+            (int(x), int(y), int(z)) for x, y, z in local[chan_order]
+        )
+    return PromotedBoxInfo(
+        fine_dims=(fx, fy, fz), coarse_dims=(cx, cy, cz),
+        perm=perm, perm_p=perm_p, embed=embed,
+        elem_perm=elem_perm, elem_dims=elem_dims,
+        chan_order=chan_order, local_off=local_off,
+    )
+
+
+def shard_pad_size(size: int, config, pallas_layout: bool) -> int:
+    """Padded fine-axis length: a shard_pad multiple, lcm'd with the
+    Pallas block size x mesh size on the fused path so sharded kernel
+    calls skip their per-call weight pads (see SolverConfig.shard_pad)."""
+    pad = max(1, int(config.shard_pad))
+    if pallas_layout:
+        from cfd_with_cuda_tpu.ops.pallas_stencil import BLK
+
+        pad = int(np.lcm(pad, BLK * max(1, int(config.spmd_devices))))
+    return -(-size // pad) * pad

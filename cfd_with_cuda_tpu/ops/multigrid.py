@@ -215,3 +215,27 @@ def make_vcycle(params: dict, dims: list, radii: list,
         return x
 
     return lambda r: vc(0, r)
+
+
+def attach_hierarchy(solver, Z_grid: sp.csr_matrix, dims, dtype) -> bool:
+    """Build + attach the Galerkin hierarchy to a solver (both
+    fractional-step integrators share this verbatim): sets ``mg_*``
+    attributes, joins the level arrays to ``solver.d``, flips
+    ``use_mg``.  Returns False (no attach) when coarsening stalls on a
+    grid MG cannot serve — unless the user explicitly requested
+    ``pressure_precond='mg'``, which re-raises."""
+    try:
+        mg = build_mg_hierarchy(Z_grid, dims, dtype=dtype)
+    except ValueError:
+        if solver.config.pressure_precond == "mg":
+            raise                  # explicit request: fail loudly
+        return False               # auto: Jacobi fallback
+    solver.mg_dims = mg["dims"]
+    solver.mg_radii = mg["radii"]
+    solver.mg_omegas = mg["omegas"]
+    for lvl, (w, dg) in enumerate(zip(mg["wins"], mg["diags"])):
+        solver.d[f"mg_win_{lvl}"] = w
+        solver.d[f"mg_diag_{lvl}"] = dg
+    solver.d["mg_zinv"] = mg["zinv"]
+    solver.use_mg = True
+    return True

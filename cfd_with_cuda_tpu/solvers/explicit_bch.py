@@ -275,40 +275,30 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
     def _try_structured(self, mesh, ops, Z, is_bc, bc_vel, md_inv, md_orig_inv):
         """Build the DIA operator set if the mesh is a box grid."""
         from cfd_with_cuda_tpu.fem.structured import (
-            detect_structured_grid,
+            detect_promoted_box,
             dia_from_csr,
+            shard_pad_size,
         )
 
         deck = self.deck
         dtype = self.config.jnp_dtype()
-        gi = detect_structured_grid(mesh.coords)
-        if gi is None:
+        box = detect_promoted_box(mesh.coords, self.nnp, mesh.ltog_node)
+        if box is None:
             return
-        gi_p = detect_structured_grid(mesh.coords[: self.nnp])
-        if gi_p is None:
-            return
-        fx, fy, fz = gi.dims
-        cx, cy, cz = gi_p.dims
-        if (fx, fy, fz) != (2 * cx - 1, 2 * cy - 1, 2 * cz - 1):
-            return
-        perm = gi.flat_of_node
-        perm_p = gi_p.flat_of_node
-        # fine flat id of each coarse node's embedded (2I, 2J, 2K) slot
-        I = perm_p % cx
-        J = (perm_p // cx) % cy
-        Kc = perm_p // (cx * cy)
-        embed = (2 * Kc * fy + 2 * J) * fx + 2 * I
-        # corner node j must sit exactly at its embedded fine position
-        if not np.array_equal(perm[: self.nnp], embed):
-            return
-        S = gi.size
+        fx, fy, fz = box.fine_dims
+        cx, cy, cz = box.coarse_dims
+        perm, perm_p, embed = box.perm, box.perm_p, box.embed
+        S = box.size
 
         K_csr = ops.pattern_m.to_scipy(ops.K)
-        k_dia = dia_from_csr(K_csr, perm, perm, gi.dims)
-        z_dia = dia_from_csr(Z, perm_p, perm_p, gi_p.dims)
-        g_dias = [dia_from_csr(ops.G_csr(d), perm, embed, gi.dims) for d in range(3)]
+        k_dia = dia_from_csr(K_csr, perm, perm, box.fine_dims)
+        z_dia = dia_from_csr(Z, perm_p, perm_p, box.coarse_dims)
+        g_dias = [
+            dia_from_csr(ops.G_csr(d), perm, embed, box.fine_dims)
+            for d in range(3)
+        ]
         gt_dias = [
-            dia_from_csr(ops.G_csr(d).T.tocsr(), embed, perm, gi.dims)
+            dia_from_csr(ops.G_csr(d).T.tocsr(), embed, perm, box.fine_dims)
             for d in range(3)
         ]
         if any(x is None for x in [k_dia, z_dia, *g_dias, *gt_dias]):
@@ -317,25 +307,16 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         self.structured = True
         self.perm = perm
         self.perm_p = perm_p
-        self.fine_dims = (fx, fy, fz)
-        self.coarse_dims = (cx, cy, cz)
+        self.fine_dims = box.fine_dims
+        self.coarse_dims = box.coarse_dims
         # element-level structure: strided-slice elemental gather/scatter
-        # for convection (fem/structured.detect_structured_elements)
-        from cfd_with_cuda_tpu.fem.structured import detect_structured_elements
-
-        em = detect_structured_elements(mesh.ltog_node, perm, (fx, fy, fz))
-        self.elem_structured = em is not None
-        if em is not None:
-            elem_perm, self.elem_dims, local = em
-            # local-node axis goes to window-channel order (z-major window
-            # scan) so the stride-2 patches gather needs no permutation
-            chan = (local[:, 2] * 3 + local[:, 1]) * 3 + local[:, 0]
-            self.chan_order = np.argsort(chan)           # channel -> local
-            self.local_off = tuple(
-                (int(x), int(y), int(z)) for x, y, z in local[self.chan_order]
-            )
-        else:
-            elem_perm = None
+        # for convection (fem/structured.detect_promoted_box)
+        self.elem_structured = box.elem_perm is not None
+        elem_perm = box.elem_perm
+        if self.elem_structured:
+            self.elem_dims = box.elem_dims
+            self.chan_order = box.chan_order           # channel -> local
+            self.local_off = box.local_off
         # K: roll-based DIA (bandwidth-bound on the big fine grid);
         # Z/G/GT: window-patches form (latency-bound small/medium applies).
         self.k_offsets = k_dia.flat_offsets
@@ -343,18 +324,9 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         self.g_radius = max(g.radius for g in g_dias)
         self.gt_radius = max(g.radius for g in gt_dias)
 
-        def permute_vec(v):  # node order -> grid order
-            out = np.empty_like(v)
-            out[perm] = v
-            return out
-
-        def permute_vec_p(v):
-            out = np.empty_like(v)
-            out[perm_p] = v
-            return out
-
+        permute_vec = box.permute_vec        # node order -> grid order
         dev = lambda x: np.asarray(x, dtype=dtype)
-        z_diag = permute_vec_p(np.asarray(Z.diagonal()))
+        z_diag = box.permute_vec_p(np.asarray(Z.diagonal()))
         gDSv_t = np.transpose(self.tables.gDSv, (3, 2, 1, 0))
         gq_t = self.tables.gq_factor.T
         Sv_t = self.tables.Sv
@@ -383,17 +355,8 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         }
         # sharding pad: zero-pad every fine-grid axis to a multiple of
         # shard_pad (padding rows carry zero operator values, so results
-        # are unchanged; see utils/config.SolverConfig.shard_pad).  Under
-        # the Pallas layout the pad also aligns to the kernel block size
-        # so the windowed kernels skip their per-call weight pads.
-        pad = max(1, int(self.config.shard_pad))
-        if self._pallas_layout:
-            from cfd_with_cuda_tpu.ops.pallas_stencil import BLK
-
-            # sharded fast path: every shard's local block must be a
-            # whole number of Pallas BLK blocks (parallel/sharded_stencil)
-            pad = int(np.lcm(pad, BLK * max(1, int(self.config.spmd_devices))))
-        self.s_pad = -(-S // pad) * pad
+        # are unchanged; see fem/structured.shard_pad_size)
+        self.s_pad = shard_pad_size(S, self.config, self._pallas_layout)
         if self.s_pad > S:
             extra = self.s_pad - S
             for key in list(self.d):
@@ -465,25 +428,11 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         if self.config.pressure_precond == "mg" or (
             self.config.pressure_precond == "auto" and not self._pallas_layout
         ):
-            from cfd_with_cuda_tpu.ops.multigrid import build_mg_hierarchy
+            from cfd_with_cuda_tpu.ops.multigrid import attach_hierarchy
 
             inv_p = np.argsort(perm_p)          # flat grid id -> node id
             Zg = Z[inv_p][:, inv_p].tocsr()
-            try:
-                mg = build_mg_hierarchy(Zg, gi_p.dims, dtype=dtype)
-            except ValueError:
-                if self.config.pressure_precond == "mg":
-                    raise              # explicit request: fail loudly
-                mg = None              # auto: Jacobi fallback
-            if mg is not None:
-                self.mg_dims = mg["dims"]
-                self.mg_radii = mg["radii"]
-                self.mg_omegas = mg["omegas"]
-                for lvl, (w, dg) in enumerate(zip(mg["wins"], mg["diags"])):
-                    self.d[f"mg_win_{lvl}"] = w
-                    self.d[f"mg_diag_{lvl}"] = dg
-                self.d["mg_zinv"] = mg["zinv"]
-                self.use_mg = True
+            attach_hierarchy(self, Zg, box.coarse_dims, dtype)
 
         # ---- parity-split (class-major) field layout: the fused path's
         # remaining stride-2 ops (convection gather/scatter, coarse

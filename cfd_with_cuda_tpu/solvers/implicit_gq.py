@@ -336,43 +336,33 @@ class ImplicitGQSolver(ChunkedTimeLoop):
                         p_mask):
         """DIA operators + per-step device assembly maps for a box grid."""
         from cfd_with_cuda_tpu.fem.structured import (
-            detect_structured_elements,
-            detect_structured_grid,
+            detect_promoted_box,
             dia_from_csr,
+            shard_pad_size,
         )
 
         deck = self.deck
         dtype = self.config.jnp_dtype()
-        gi = detect_structured_grid(mesh.coords)
-        if gi is None:
+        box = detect_promoted_box(mesh.coords, self.nnp, mesh.ltog_node)
+        if box is None or box.elem_perm is None:
+            # (unlike the explicit solver, the per-step LHS assembly
+            # needs element-grid structure too)
             return
-        gi_p = detect_structured_grid(mesh.coords[: self.nnp])
-        if gi_p is None:
-            return
-        fx, fy, fz = gi.dims
-        cx, cy, cz = gi_p.dims
-        if (fx, fy, fz) != (2 * cx - 1, 2 * cy - 1, 2 * cz - 1):
-            return
-        perm = gi.flat_of_node
-        perm_p = gi_p.flat_of_node
-        I = perm_p % cx
-        J = (perm_p // cx) % cy
-        Kc = perm_p // (cx * cy)
-        embed = (2 * Kc * fy + 2 * J) * fx + 2 * I
-        if not np.array_equal(perm[: self.nnp], embed):
-            return
-        em = detect_structured_elements(mesh.ltog_node, perm, (fx, fy, fz))
-        if em is None:
-            return
-        elem_perm, elem_dims, local = em
+        fx, fy, fz = box.fine_dims
+        cx, cy, cz = box.coarse_dims
+        perm, perm_p, embed = box.perm, box.perm_p, box.embed
+        elem_perm = box.elem_perm
 
         MK = pat.to_scipy(mk_vals)
-        mk_dia = dia_from_csr(MK, perm, perm, gi.dims)
-        m_dia = dia_from_csr(pat.to_scipy(ops.M), perm, perm, gi.dims)
-        z_dia = dia_from_csr(Z, perm_p, perm_p, gi_p.dims)
-        g_dias = [dia_from_csr(ops.G_csr(d), perm, embed, gi.dims) for d in range(3)]
+        mk_dia = dia_from_csr(MK, perm, perm, box.fine_dims)
+        m_dia = dia_from_csr(pat.to_scipy(ops.M), perm, perm, box.fine_dims)
+        z_dia = dia_from_csr(Z, perm_p, perm_p, box.coarse_dims)
+        g_dias = [
+            dia_from_csr(ops.G_csr(d), perm, embed, box.fine_dims)
+            for d in range(3)
+        ]
         gt_dias = [
-            dia_from_csr(ops.G_csr(d).T.tocsr(), embed, perm, gi.dims)
+            dia_from_csr(ops.G_csr(d).T.tocsr(), embed, perm, box.fine_dims)
             for d in range(3)
         ]
         if any(x is None for x in [mk_dia, m_dia, z_dia, *g_dias, *gt_dias]):
@@ -385,31 +375,23 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         self.elem_structured = True
         self.perm = perm
         self.perm_p = perm_p
-        self.fine_dims = (fx, fy, fz)
-        self.coarse_dims = (cx, cy, cz)
-        self.elem_dims = elem_dims
+        self.fine_dims = box.fine_dims
+        self.coarse_dims = box.coarse_dims
+        self.elem_dims = box.elem_dims
         self.a_offsets = mk_dia.flat_offsets
         self.a_zero_off = self.a_offsets.index(0)
         self.z_radius = z_dia.radius
         self.g_radius = max(g.radius for g in g_dias)
         self.gt_radius = max(g.radius for g in gt_dias)
 
-        chan = (local[:, 2] * 3 + local[:, 1]) * 3 + local[:, 0]
-        order = np.argsort(chan)
-        self.chan_order = order
-        self.local_off = tuple((int(x), int(y), int(z)) for x, y, z in local[order])
+        self.chan_order = box.chan_order
+        self.local_off = box.local_off
 
         # sharding pad: the fine-grid axis is zero-padded to a multiple of
         # shard_pad so multi-chip device_put can split it evenly (padding
         # rows carry zero operator values + unit diagonal -> no-op rows)
-        S = gi.size
-        pad = max(1, int(self.config.shard_pad))
-        if self._pallas_layout:
-            from cfd_with_cuda_tpu.ops.pallas_stencil import BLK
-
-            # sharded fast path: local blocks must be whole BLK blocks
-            pad = int(np.lcm(pad, BLK * max(1, int(self.config.spmd_devices))))
-        self.s_pad = -(-S // pad) * pad
+        S = box.size
+        self.s_pad = shard_pad_size(S, self.config, self._pallas_layout)
         n_off = mk_dia.vals.shape[0]
 
         # channel-pair -> DIA offset-index table: entry (i, j) of every
@@ -425,15 +407,8 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             for i in range(nen)
         )
 
-        def permute_vec(v):
-            out = np.empty_like(v)
-            out[perm] = v
-            return out
-
-        def permute_vec_p(v):
-            out = np.empty_like(v)
-            out[perm_p] = v
-            return out
+        permute_vec = box.permute_vec
+        permute_vec_p = box.permute_vec_p
 
         gDSv_t = np.transpose(self.tables.gDSv, (3, 2, 1, 0))
         gq_t = self.tables.gq_factor.T
@@ -441,9 +416,9 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         g2[..., elem_perm] = gDSv_t
         q2 = np.empty_like(gq_t)
         q2[..., elem_perm] = gq_t
-        gDSv_t = g2[:, order]
+        gDSv_t = g2[:, box.chan_order]
         gq_t = q2
-        Sv_t = self.tables.Sv[:, order]
+        Sv_t = self.tables.Sv[:, box.chan_order]
 
         dev = lambda x: np.asarray(x, dtype=dtype)
         bc_mask = np.where(is_bc, 0.0, 1.0)
@@ -530,25 +505,11 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             and not self._pallas_layout
             and z_regular
         ):
-            from cfd_with_cuda_tpu.ops.multigrid import build_mg_hierarchy
+            from cfd_with_cuda_tpu.ops.multigrid import attach_hierarchy
 
             inv_p = np.argsort(perm_p)          # flat grid id -> node id
             Zg = Z[inv_p][:, inv_p].tocsr()
-            try:
-                mg = build_mg_hierarchy(Zg, gi_p.dims, dtype=dtype)
-            except ValueError:
-                if self.config.pressure_precond == "mg":
-                    raise              # explicit request: fail loudly
-                mg = None              # auto: Jacobi fallback
-            if mg is not None:
-                self.mg_dims = mg["dims"]
-                self.mg_radii = mg["radii"]
-                self.mg_omegas = mg["omegas"]
-                for lvl, (w, dg) in enumerate(zip(mg["wins"], mg["diags"])):
-                    self.d[f"mg_win_{lvl}"] = w
-                    self.d[f"mg_diag_{lvl}"] = dg
-                self.d["mg_zinv"] = mg["zinv"]
-                self.use_mg = True
+            attach_hierarchy(self, Zg, box.coarse_dims, dtype)
 
         # ---- parity-split (class-major) layout (see explicit_bch): the
         # per-step LHS assembly becomes contiguous DUS adds straight into
