@@ -25,12 +25,17 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 REF_DECK = "/root/reference/inputFiles/lidDrivenCavity/lidDrivenCavity_NE27000.inp"
 
-N_MEASURE = 300
+N_MEASURE = 900
 # warmup must run >= steps_per_chunk steps so the measured phase reuses the
 # compiled chunk graph (a shorter warmup makes the measurement eat a fresh
 # XLA compile)
-N_WARM = 100
-CHUNK = 100
+N_WARM = 300
+# chunk=300: the axon tunnel costs ~1 s fixed dispatch per chunk launch
+# (chunk=50 -> 24.1 ms/step vs chunk=100 -> 14.2 at round 2: per-step =
+# device + fixed/chunk).  300 amortizes that to ~3 ms/step; device-side
+# per-step time is unchanged.  On an untunneled TPU the fixed cost is
+# microseconds and chunk size is immaterial.
+CHUNK = 300
 ORACLE_STEPS = 2
 
 

@@ -605,13 +605,23 @@ def parity_assemble_conv(ae, *, route, n_planes, elem_dims, coarse_dims, sp):
     for (i, j, jp, di) in route:
         groups.setdefault(di, []).append((i * nj + j, jp))
     out = jnp.zeros((n_planes, cz, cy, cx), ae.dtype)
-    ae_f = ae.reshape(-1, ez, ey, ex)
+    # Gather channel pairs on a 2D (729, ez*ey*ex) view, NOT the 4D
+    # (729, ez, ey, ex) one: on real TPU the 4D gather materializes its
+    # output plane-axis-minor ({0,3,2,1:T(8,128)} — each (z,y,x) element
+    # padded to 128 lanes over the gathered axis) and double-buffers a
+    # full 128-plane tile in scoped vmem, 2 x 14.06 MB > the 16 MB limit
+    # at NE27000 (observed v5e compile OOM, independent of how many
+    # planes are gathered).  In 2D the minor axis is the flat element
+    # axis and the gather streams row tiles; the barrier keeps the
+    # reshape from folding back into the gather.
+    ae2 = ae.reshape(-1, ez * ey * ex)
     for (dx, dy, dz) in sorted(groups):
         pairs_g = sorted(groups[(dx, dy, dz)], key=lambda t: t[1])
         dst = [p for (_, p) in pairs_g]
         assert len(set(dst)) == len(dst), "planes not unique within group"
         src = np.asarray([s for (s, _) in pairs_g])
-        v = ae_f[src]
+        v = jax.lax.optimization_barrier(ae2[src])
+        v = v.reshape(-1, ez, ey, ex)
         out = out.at[
             np.asarray(dst), dz:dz + ez, dy:dy + ey, dx:dx + ex
         ].add(v, unique_indices=True, indices_are_sorted=True)
