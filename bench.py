@@ -26,16 +26,16 @@ sys.path.insert(0, str(Path(__file__).parent))
 REF_DECK = "/root/reference/inputFiles/lidDrivenCavity/lidDrivenCavity_NE27000.inp"
 
 N_MEASURE = 900
-# warmup must run >= steps_per_chunk steps so the measured phase reuses the
-# compiled chunk graph (a shorter warmup makes the measurement eat a fresh
-# XLA compile)
-N_WARM = 300
 # chunk=300: the axon tunnel costs ~1 s fixed dispatch per chunk launch
 # (chunk=50 -> 24.1 ms/step vs chunk=100 -> 14.2 at round 2: per-step =
 # device + fixed/chunk).  300 amortizes that to ~3 ms/step; device-side
 # per-step time is unchanged.  On an untunneled TPU the fixed cost is
 # microseconds and chunk size is immaterial.
 CHUNK = 300
+# warmup must run >= steps_per_chunk steps so the measured phase reuses the
+# compiled chunk graph (a shorter warmup makes the measurement eat a fresh
+# XLA compile)
+N_WARM = CHUNK
 ORACLE_STEPS = 2
 
 
@@ -134,13 +134,15 @@ def main():
         try:
             t0 = time.time()
             solver = ExplicitBCHSolver(deck, cfg)
+            setup_s = time.time() - t0
             log(
-                f"setup {time.time()-t0:.1f}s structured={solver.structured}"
+                f"setup {setup_s:.1f}s structured={solver.structured}"
                 f" layout={getattr(solver, 'layout', '?')} NN={solver.nn}"
             )
             t0 = time.time()
             state, hist = solver.run(n_steps=N_WARM)
-            log(f"warmup/compile {time.time()-t0:.1f}s")
+            warmup_s = time.time() - t0
+            log(f"warmup/compile {warmup_s:.1f}s")
             break
         except Exception as e:  # noqa: BLE001 — try the next rung
             log(f"config {extra or 'default'} failed: {type(e).__name__}: {e}")
@@ -186,6 +188,16 @@ def main():
                 "unit": "ms/step",
                 "vs_baseline": round(vs_baseline, 2),
                 "platform": platform,
+                # self-describing run parameters so cross-round BENCH_r*.json
+                # comparisons are like-for-like (VERDICT r3 weak #5)
+                "layout": getattr(solver, "layout", "?"),
+                "chunk": CHUNK,
+                "n_measure": N_MEASURE,
+                "setup_s": round(setup_s, 1),
+                "warmup_s": round(warmup_s, 1),
+                "cg_iters": int(h["cg_iters"]),
+                "sub_iters": int(h["iters"]),
+                "u_mon": round(float(h["u_mon"]), 6),
             }
         )
     )

@@ -59,6 +59,12 @@ __all__ = [
     "build_parity_apply_tables",
     "parity_apply",
     "parity_div_apply",
+    "elem_channel_shifts",
+    "embed_elem_table",
+    "parity_gather_elem_flat",
+    "parity_scatter_elem_flat",
+    "build_conv_plane_route",
+    "conv_planes_from_ae",
     "build_conv_assembly_route",
     "diag_plane_indices",
     "parity_assemble_conv",
@@ -325,9 +331,10 @@ _X_STREAM_BYTES = 6 * 2**20
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pairs", "co", "blk", "stream_x")
+    jax.jit, static_argnames=("pairs", "co", "blk", "stream_x", "pairs2")
 )
-def parity_apply(wc, x, *, pairs, co=None, blk=1024, stream_x=None):
+def parity_apply(wc, x, *, pairs, co=None, blk=1024, stream_x=None,
+                 wc2=None, pairs2=None):
     """y[c, p, q] = sum_{(j, p', dq) in pairs[p]} wc[:, j, q] * x[c, p', q+dq]
 
     ``wc (cw, m, Sp)`` concat-slot weights (from
@@ -336,6 +343,12 @@ def parity_apply(wc, x, *, pairs, co=None, blk=1024, stream_x=None):
     where the input IS the coarse pressure).  Output ``(co, 8, Sp)``
     with ``co = max(C, cw)`` by default (cw=1: shared weights over C
     channels, K; C=1: per-channel weights, G).
+
+    ``wc2``/``pairs2``: an optional SECOND weight table streamed
+    alongside and accumulated into the same output — the per-step
+    convection planes ride with the static K table so (K + A(un)) u is
+    ONE kernel with zero XLA ops in the sub-iteration loop
+    (:func:`build_conv_plane_route` / :func:`conv_planes_from_ae`).
 
     Weights stream per ``blk`` block — the only big HBM traffic.  The
     class-split field stays VMEM-resident when it fits
@@ -357,24 +370,69 @@ def parity_apply(wc, x, *, pairs, co=None, blk=1024, stream_x=None):
     halo_raw = max(
         (abs(dq) for cls in pairs for (_, _, dq) in cls), default=0
     )
+    if pairs2 is not None:
+        halo_raw = max(halo_raw, max(
+            (abs(dq) for cls in pairs2 for (_, _, dq) in cls), default=0
+        ))
     halo = _round_up(halo_raw, 128)
     x_ext = jnp.pad(x, ((0, 0), (0, 0), (halo, halo + 128)))
     n_blocks = sp // blk
     if stream_x is None:
         stream_x = x_ext.size * x_ext.dtype.itemsize > _X_STREAM_BYTES
+    two = wc2 is not None
+    if two and stream_x:
+        raise NotImplementedError(
+            "wc2 + HBM-streamed field: not yet combined (NE85184+ with "
+            "conv planes) — use the flat matrix-free convection there"
+        )
 
     if not stream_x:
+        def slot_acc(acc, w, pp, dq, x_ref, s0):
+            start = halo + dq
+            align = (start // 128) * 128
+            rem = start - align
+            xs = x_ref[:, pp, pl.ds(s0 + align, blk + 128)]
+            xs = lax.slice_in_dim(xs, rem, rem + blk, axis=1)
+            return acc + w * xs
+
+        if two:
+            def kernel(x_ref, w_ref, w2_ref, o_ref):
+                s0 = pl.program_id(0) * blk
+                for p in range(8):
+                    acc = jnp.zeros((co, blk), x_ref.dtype)
+                    for (j, pp, dq) in pairs[p]:
+                        acc = slot_acc(acc, w_ref[:, j, :], pp, dq,
+                                       x_ref, s0)
+                    for (j, pp, dq) in pairs2[p]:
+                        acc = slot_acc(acc, w2_ref[:, j, :], pp, dq,
+                                       x_ref, s0)
+                    o_ref[:, p, :] = acc
+
+            m2 = wc2.shape[1]
+            return pl.pallas_call(
+                kernel,
+                grid=(n_blocks,),
+                in_specs=[
+                    pl.BlockSpec(x_ext.shape, lambda i: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((cw, m, blk), lambda i: (0, 0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((wc2.shape[0], m2, blk),
+                                 lambda i: (0, 0, i),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((co, 8, blk), lambda i: (0, 0, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((co, 8, sp), x.dtype),
+                interpret=_interpret(),
+            )(x_ext, wc, wc2)
+
         def kernel(x_ref, w_ref, o_ref):
             s0 = pl.program_id(0) * blk
             for p in range(8):
                 acc = jnp.zeros((co, blk), x_ref.dtype)
                 for (j, pp, dq) in pairs[p]:
-                    start = halo + dq
-                    align = (start // 128) * 128
-                    rem = start - align
-                    xs = x_ref[:, pp, pl.ds(s0 + align, blk + 128)]
-                    xs = lax.slice_in_dim(xs, rem, rem + blk, axis=1)
-                    acc = acc + w_ref[:, j, :] * xs
+                    acc = slot_acc(acc, w_ref[:, j, :], pp, dq, x_ref, s0)
                 o_ref[:, p, :] = acc
 
         return pl.pallas_call(
@@ -518,6 +576,172 @@ def parity_scatter_elem(r_e, elem_dims, coarse_dims, sp: int):
                 i += 1
     out = out.reshape(c, 8, -1)
     return jnp.pad(out, ((0, 0), (0, 0), (0, sp - out.shape[-1])))
+
+
+# ------------------------------------------------- flat elemental ops
+#
+# The 3-D box forms above (``parity_gather_elem``/``parity_scatter_elem``)
+# slice/DUS (C, 8, cz, cy, cx) views whose minor dims (31, 31) are
+# tile-hostile on TPU — each 30-of-31 strided row is a sub-(8,128)-tile
+# copy, and XLA inserts relayout copies between them and the Pallas
+# window kernels' flat (C, 8, Sp) outputs.  Measured round 4: K apply
+# alone 0.79 ms, K + box-form matrix-free convection 9.3 ms — the
+# convection gather/scatter dominated the whole step.
+#
+# The FLAT forms below never leave the (C, 8, Sp) layout.  The element
+# grid is EMBEDDED in the coarse grid (element (I,J,K) at coarse flat
+# q = (K*cy + J)*cx + I; the element tables are re-embedded on that axis
+# at setup with zeros at non-element positions), so every elemental
+# gather/scatter channel is ONE minor-axis shift:
+#
+#     channel o = (ox, oy, oz):  class p = (o & 1),  di = o >> 1,
+#     dqf = (di_z*cy + di_y)*cx + di_x
+#     gather:  u_e[c, o, q] = u[c, p, q + dqf]      (shift LEFT by dqf)
+#     scatter: out[c, p, q] += r_e[c, o, q - dqf]   (shift RIGHT by dqf)
+#
+# Shifts are zero-filled pad+slice ops (contiguous, no 3-D views).  Row-
+# crossing artifacts read/write only non-element positions, where the
+# re-embedded tables are zero — products vanish, so results are exact
+# (tests/test_parity_stencil.py::test_flat_elemental_ops_match_box_forms).
+
+
+def elem_channel_shifts(coarse_dims):
+    """Per window channel (z-major (ox,oy,oz) scan): (class idx, flat
+    coarse shift dqf)."""
+    cx, cy, _ = coarse_dims
+    out = []
+    for oz in range(3):
+        for oy in range(3):
+            for ox in range(3):
+                p_idx = ((oz & 1) * 2 + (oy & 1)) * 2 + (ox & 1)
+                dqf = ((oz >> 1) * cy + (oy >> 1)) * cx + (ox >> 1)
+                out.append((p_idx, dqf))
+    return tuple(out)
+
+
+def embed_elem_table(t: np.ndarray, elem_dims, coarse_dims, sp: int):
+    """Host, setup-time: re-embed an element table ``t (..., NE)`` (z-major
+    element grid) on the coarse-flat axis -> ``(..., sp)`` with zeros at
+    non-element positions."""
+    ex, ey, ez = elem_dims
+    cx, cy, cz = coarse_dims
+    lead = t.shape[:-1]
+    buf = np.zeros((*lead, cz, cy, cx), t.dtype)
+    buf[..., :ez, :ey, :ex] = t.reshape(*lead, ez, ey, ex)
+    out = np.zeros((*lead, sp), t.dtype)
+    out[..., : cx * cy * cz] = buf.reshape(*lead, -1)
+    return out
+
+
+def _shift_left(x, dqf):
+    """out[..., q] = x[..., q + dqf], zero-filled tail (static)."""
+    if dqf == 0:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, dqf)]
+    return jnp.pad(x, pad)[..., dqf:]
+
+
+def _shift_right(x, dqf):
+    """out[..., q] = x[..., q - dqf], zero-filled head (static)."""
+    if dqf == 0:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(dqf, 0)]
+    return jnp.pad(x, pad)[..., : x.shape[-1]]
+
+
+def parity_gather_elem_flat(u, coarse_dims):
+    """(C, 27, Sp) elemental gather from a class-major field (C, 8, Sp)
+    on the EMBEDDED element axis — 27 contiguous minor-axis shifts."""
+    chans = [
+        _shift_left(u[:, p_idx], dqf)
+        for (p_idx, dqf) in elem_channel_shifts(coarse_dims)
+    ]
+    return jnp.stack(chans, axis=1)
+
+
+def parity_scatter_elem_flat(r_e, coarse_dims):
+    """(C, 8, Sp) elemental scatter-add of (C, 27, Sp) on the embedded
+    element axis — per class one sum of shifted channels."""
+    acc = [None] * 8
+    for c, (p_idx, dqf) in enumerate(elem_channel_shifts(coarse_dims)):
+        v = _shift_right(r_e[:, c], dqf)
+        acc[p_idx] = v if acc[p_idx] is None else acc[p_idx] + v
+    return jnp.stack(acc, axis=1)
+
+
+# ---------------------------------------------- convection weight planes
+#
+# Matrix-free flat convection still leaves XLA ops (27 shift gathers,
+# one batched matvec einsum, 27 shift-adds) inside the sub-iteration
+# loop next to the Pallas CG — measured round 4: that co-residency costs
+# ~8 ms/step on top of the ops' own traffic.  The all-Pallas form treats
+# A(un) as 729 per-pair weight PLANES streamed through the same
+# parity_apply kernel as K (``wc2``/``pairs2``):
+#
+#     out[p_out(i), q] += ae[i, j, q - di] * u[p_in(j), q + (dj - di)]
+#
+# so plane (i, j)'s weights are ae's embedded element row shifted RIGHT
+# by flat(di).  Pairs sharing i share di: ordering the i axis grouped by
+# di (``i_order``) makes the per-step plane build 8 contiguous
+# minor-axis shifts of ae's (27*27, Sp) view — no scatter, no 3-D ops.
+# The solver builds ae with Sv's i axis pre-permuted by ``i_order`` so
+# ``ae.reshape(729, Sp)`` IS the plane order.
+
+
+def build_conv_plane_route(local_off, coarse_dims):
+    """Host, setup-time.  Returns ``(i_order, groups, pairs2)``:
+
+    * ``i_order (27,)`` — permutation of the local i channels grouped by
+      their element-corner offset di = oi >> 1;
+    * ``groups`` — tuple of ``(row_start, n_rows, dqf)`` over the
+      729-row plane axis (rows i*27..i*27+26 per grouped i), dqf =
+      flat(di) — the shift :func:`conv_planes_from_ae` applies;
+    * ``pairs2`` — per output class p: tuple of ``(plane, p_in, dq)``
+      for :func:`parity_apply`'s second table.
+    """
+    cx, cy, _ = coarse_dims
+    cls = lambda o: ((o[2] & 1) * 2 + (o[1] & 1)) * 2 + (o[0] & 1)
+    di_of = lambda o: (o[0] >> 1, o[1] >> 1, o[2] >> 1)
+    flat = lambda d: (d[2] * cy + d[1]) * cx + d[0]
+    i_order = sorted(
+        range(len(local_off)), key=lambda i: (di_of(local_off[i]), i)
+    )
+    groups = []
+    pairs2 = [[] for _ in range(8)]
+    row = 0
+    g_start, g_di = 0, di_of(local_off[i_order[0]])
+    nj = len(local_off)
+    for pos, i in enumerate(i_order):
+        oi = local_off[i]
+        di = di_of(oi)
+        if di != g_di:
+            groups.append((g_start, row - g_start, flat(g_di)))
+            g_start, g_di = row, di
+        for j, oj in enumerate(local_off):
+            dj = di_of(oj)
+            dq = flat((dj[0] - di[0], dj[1] - di[1], dj[2] - di[2]))
+            pairs2[cls(oi)].append((row, cls(oj), dq))
+            row += 1
+    groups.append((g_start, row - g_start, flat(g_di)))
+    return (
+        tuple(i_order),
+        tuple(groups),
+        tuple(tuple(v) for v in pairs2),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("groups",))
+def conv_planes_from_ae(ae, *, groups):
+    """(1, 729, Sp) convection weight planes from ``ae (27, 27, Sp)``
+    built with the i axis in ``i_order`` (grouped by di) on the EMBEDDED
+    element axis — 8 contiguous minor-axis shifts, nothing else."""
+    ni, nj, sp = ae.shape
+    ae2 = ae.reshape(ni * nj, sp)
+    parts = [
+        _shift_right(lax.slice_in_dim(ae2, a, a + n, axis=0), dqf)
+        for (a, n, dqf) in groups
+    ]
+    return jnp.concatenate(parts, axis=0)[None]
 
 
 # ------------------------------------------ per-step LHS assembly (implicit)

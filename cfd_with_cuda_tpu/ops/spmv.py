@@ -90,6 +90,7 @@ def convection_apply(
     gDSv: jax.Array,
     gq_factor: jax.Array,
     nn: int,
+    stab_coef: float = 0.0,
 ) -> jax.Array:
     """R1conv (3, NN) = A(u0) @ uprev, matrix-free.
 
@@ -97,12 +98,19 @@ def convection_apply(
     (``blascoCodinaHuerta.cpp:3608-3655``) but never forms Ae:
     contraction order (NENv, NGP, NE) keeps the FLOPs at
     O(NE * NGP * NENv * 3) instead of O(NE * NGP * NENv^2).
-    ``gq_factor (NGP, NE)``.
+    ``gq_factor (NGP, NE)``.  ``stab_coef`` adds the Temam
+    (div u0) Sv_i Sv_j term (SolverConfig.conv_stab; the reference's
+    implicit kernel carries it with coefficient 0.0,
+    ``guermondQuartapelle.cpp:3864-3865``).
     """
     u0_e = _gather_components(u0, ltog)                   # (3, NENv, NE)
     up_e = _gather_components(uprev, ltog)
     udotg = _udotgrad(u0_e, Sv, gDSv)                     # (NENv, NGP, NE)
     conv_gq = jnp.einsum("jke,dje->dke", udotg, up_e)     # (3, NGP, NE)
+    if stab_coef:
+        div0 = jnp.einsum("djke,dje->ke", gDSv, u0_e)
+        up_gq = jnp.einsum("kj,dje->dke", Sv, up_e)
+        conv_gq = conv_gq + stab_coef * div0[None] * up_gq
     r1e = jnp.einsum("ki,ke,dke->die", Sv, gq_factor, conv_gq)
     return scatter_nodes(r1e, ltog, nn)
 
@@ -115,12 +123,17 @@ def convection_assemble_csr(
     gq_factor: jax.Array,
     scatter_map: jax.Array,
     nnz: int,
+    stab_coef: float = 0.0,
 ) -> jax.Array:
     """Assembled CSR values of A(u0) (the implicit solver's convection
     block): Ae[i,j] = sum_k (u0 . grad Sv_j) Sv_i |J| w, scattered through
-    the precomputed elemental->NNZ map ``scatter_map (NENv_i, NENv_j, NE)``."""
+    the precomputed elemental->NNZ map ``scatter_map (NENv_i, NENv_j, NE)``.
+    ``stab_coef`` adds the Temam (div u0) Sv_i Sv_j term."""
     u0_e = _gather_components(u0, ltog)
     udotg = _udotgrad(u0_e, Sv, gDSv)                     # (NENv_j, NGP, NE)
+    if stab_coef:
+        div0 = jnp.einsum("djke,dje->ke", gDSv, u0_e)
+        udotg = udotg + stab_coef * div0[None] * Sv.T[:, :, None]
     ae = jnp.einsum("ki,ke,jke->ije", Sv, gq_factor, udotg)
     return jax.ops.segment_sum(
         ae.reshape(-1), scatter_map.reshape(-1), num_segments=nnz

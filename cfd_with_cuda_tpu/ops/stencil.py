@@ -250,6 +250,7 @@ def convection_apply_stencil(
     local_off,
     elem_dims,
     fine_dims,
+    stab_coef: float = 0.0,
 ) -> jax.Array:
     """Matrix-free convection on a structured grid (gather/scatter-free).
 
@@ -257,13 +258,19 @@ def convection_apply_stencil(
     element-grid order and their local-node axis permuted to
     window-channel order; ``gDSv (3, NENv, NGP, NE)``, ``gq (NGP, NE)``;
     ``local_off`` lists the channel-ordered fine-unit offsets for the
-    scatter.
+    scatter.  ``stab_coef`` adds the Temam (div u0) Sv_i Sv_j term
+    (SolverConfig.conv_stab; ref ``guermondQuartapelle.cpp:3864-3865``
+    carries it with coefficient 0.0).
     """
     u0_e = gather_elem_stencil(u0, elem_dims, fine_dims)
     up_e = gather_elem_stencil(uprev, elem_dims, fine_dims)
     u0_gq = jnp.einsum("ki,die->dke", Sv, u0_e)
     udotg = jnp.einsum("dke,djke->jke", u0_gq, gDSv)
     conv_gq = jnp.einsum("jke,dje->dke", udotg, up_e)
+    if stab_coef:
+        div0 = jnp.einsum("djke,dje->ke", gDSv, u0_e)
+        up_gq = jnp.einsum("kj,dje->dke", Sv, up_e)
+        conv_gq = conv_gq + stab_coef * div0[None] * up_gq
     r1e = jnp.einsum("ki,ke,dke->die", Sv, gq_factor, conv_gq)
     return scatter_elem_stencil(r1e, local_off, elem_dims, fine_dims)
 

@@ -48,8 +48,13 @@ def _jacobi_cg(A: sp.csr_matrix, b: np.ndarray, tol: float, maxiter: int):
 
 
 class ExplicitOracle:
-    def __init__(self, deck: Deck):
+    def __init__(self, deck: Deck, conv_stab: float = 0.0):
         self.deck = deck
+        # Temam (div u0) Sv_i Sv_j stabilization coefficient — mirrors
+        # SolverConfig.conv_stab (0.0 = reference behaviour; the ref's
+        # implicit kernel hardcodes the same term to 0.0,
+        # guermondQuartapelle.cpp:3864-3865)
+        self.conv_stab = float(conv_stab)
         mesh = promote_hex_mesh(deck.conn, deck.coords)
         self.mesh = mesh
         self.nn = mesh.nn
@@ -95,6 +100,9 @@ class ExplicitOracle:
         upe = uprev[ltog]
         u0gq = np.einsum("ki,eid->ekd", tab.Sv, u0e)
         udotg = np.einsum("ekd,ekjd->ekj", u0gq, tab.gDSv)
+        if self.conv_stab:
+            div0 = np.einsum("ekjd,ejd->ek", tab.gDSv, u0e)
+            udotg = udotg + self.conv_stab * div0[:, :, None] * tab.Sv[None]
         conv = np.einsum("ekj,ejd->ekd", udotg, upe)
         r1e = np.einsum("ki,ek,ekd->eid", tab.Sv, tab.gq_factor, conv)
         out = np.zeros((self.nn, 3))

@@ -96,7 +96,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         "monitor_node_p", "bc_of_node", "use_mg", "mg_dims", "mg_radii",
         "mg_omegas", "_pallas_layout", "conv_oij",
         "layout", "sp_c", "k_pairs", "g_pairs", "mon_cls", "mon_q",
-        "conv_route",
+        "conv_route", "conv_i_order", "conv_groups", "conv_pairs2",
     )
 
     # ------------------------------------------------------------------ setup
@@ -132,6 +132,9 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         self.mon_cls = None
         self.mon_q = None
         self.conv_route = None
+        self.conv_i_order = None
+        self.conv_groups = None
+        self.conv_pairs2 = None
 
         mesh = promote_hex_mesh(deck.conn, deck.coords)
         self.mesh = mesh
@@ -491,24 +494,35 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             self.mon_q = (
                 (mxyz[2] >> 1) * cy + (mxyz[1] >> 1)
             ) * cx + (mxyz[0] >> 1)
-            # (i,j) channel pair -> (plane, coarse offset) routing for
-            # the optional per-step assembled convection
-            # (conv_mode="assemble"): A(un) adds straight into K's
-            # concat-slot planes, making (K+A) ONE parity_apply per
-            # sub-iteration.  Unroutable only if K dropped a plane
-            # structurally (never for Q2 diffusion; guard anyway).
-            try:
-                self.conv_route = pstl.build_conv_assembly_route(
-                    self.local_off, self.k_pairs, (cx, cy, cz)
-                )
-            except ValueError:
-                self.conv_route = None
+            # all-Pallas convection: (K + A(un)) u is ONE parity_apply
+            # with the per-step A planes streamed as the second weight
+            # table (build_conv_plane_route / conv_planes_from_ae) —
+            # zero XLA ops in the sub-iteration loop
+            (self.conv_i_order, self.conv_groups,
+             self.conv_pairs2) = pstl.build_conv_plane_route(
+                self.local_off, (cx, cy, cz)
+            )
+            self.conv_route = None          # legacy assemble route: dead
+            # element tables re-embedded on the coarse-flat axis: the
+            # parity convection is matrix-free over FLAT minor-axis
+            # shifts (parity_gather/scatter_elem_flat) — the 3-D box
+            # slice/DUS forms relayout against the Pallas kernels'
+            # flat outputs (measured: K apply 0.79 ms alone, 9.3 ms
+            # next to the box-form convection)
+            self.d["gDSv_p"] = pstl.embed_elem_table(
+                self.d["gDSv"], self.elem_dims, (cx, cy, cz), sp_c
+            )
+            self.d["gq_p"] = pstl.embed_elem_table(
+                self.d["gq"], self.elem_dims, (cx, cy, cz), sp_c
+            )
             # the step never touches the interleaved big tables (nor the
             # interleaved mask/mass vectors it just split into *_p
-            # copies): drop them from HBM + the snapshot (~800 MB at
-            # NE27000)
+            # copies, nor the element-axis tables the flat convection
+            # just re-embedded): drop them from HBM + the snapshot
+            # (~800 MB at NE27000)
             for key in ("K_vals", "G_win", "GT_win", "Z_win",
-                        "md_inv", "md_orig_inv", "bc_mask", "bc_vel"):
+                        "md_inv", "md_orig_inv", "bc_mask", "bc_vel",
+                        "gDSv", "gq"):
                 self.d.pop(key, None)
 
     # ----------------------------------------------------------- initial state
@@ -733,47 +747,59 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             # fixed across sub-iterations, ref calculateMatrixA uses Un
             # :3520-3685)
             if parity:
-                gather = lambda u: pstl.parity_gather_elem(
-                    u, self.elem_dims, self.coarse_dims
+                # FLAT elemental ops: the element axis is embedded in
+                # the coarse grid, gather/scatter are minor-axis shifts
+                # (the 3-D box forms relayout against the Pallas
+                # kernels — measured 9.3 ms vs 0.79 ms for K alone);
+                # conv_mode is ignored here — the assembled route's
+                # windowed scatter-add measured 321 ms/step on TPU
+                gather = lambda u: pstl.parity_gather_elem_flat(
+                    u, self.coarse_dims
                 )
+                gtab, qtab = d["gDSv_p"], d["gq_p"]
             else:
                 gather = lambda u: gather_elem_stencil(
                     u[:, :Sr3], self.elem_dims, self.fine_dims
                 )
+                gtab, qtab = d["gDSv"], d["gq"]
             u0_e = gather(un)
             u0_gq = jnp.einsum("ki,die->dke", d["Sv"], u0_e)
-            udotg = jnp.einsum("dke,djke->jke", u0_gq, d["gDSv"])
-            ae = jnp.einsum("ki,ke,jke->ije", d["Sv"], d["gq"], udotg)
-            if parity:
-                if cfg.conv_mode == "assemble" and self.conv_route:
-                    # assemble A(un) ONCE per step into K's concat-slot
-                    # planes (grouped gather+scatter-add,
-                    # parity_assemble_conv — u.grad is component-
-                    # independent so one shared cw=1 table serves all 3
-                    # velocity channels): (K+A) is ONE parity_apply per
-                    # sub-iteration, no per-sub-iteration gather/einsum/
-                    # scatter traffic
-                    conv_p = pstl.parity_assemble_conv(
-                        ae, route=self.conv_route,
-                        n_planes=int(d["Kp"].shape[1]),
-                        elem_dims=self.elem_dims,
-                        coarse_dims=self.coarse_dims, sp=sp_c,
+            udotg = jnp.einsum("dke,djke->jke", u0_gq, gtab)
+            if cfg.conv_stab:
+                # Temam (div u0) Sv_i Sv_j stabilization (conv_stab;
+                # the ref's implicit kernel carries this term with
+                # coefficient 0.0, guermondQuartapelle.cpp:3864-3865)
+                div0 = jnp.einsum("djke,dje->ke", gtab, u0_e)
+                udotg = udotg + (
+                    cfg.conv_stab * div0[None] * d["Sv"].T[:, :, None]
+                )
+            conv_planes = parity and cfg.conv_mode != "matrix-free"
+            sv_i = d["Sv"]
+            if conv_planes:
+                # planes mode wants ae's i axis grouped by element-
+                # corner offset (conv_planes_from_ae's 8-shift build)
+                sv_i = d["Sv"][:, np.asarray(self.conv_i_order)]
+            ae = jnp.einsum("ki,ke,jke->ije", sv_i, qtab, udotg)
+            if conv_planes:
+                # all-Pallas momentum: A(un)'s 729 weight planes stream
+                # through the K kernel as a second table — the sub-
+                # iteration loop has NO XLA convection ops next to the
+                # fused CG (measured: that co-residency cost ~8 ms/step)
+                conv_wc = pstl.conv_planes_from_ae(
+                    ae, groups=self.conv_groups
+                )
+                ka_mul = lambda u: pstl.parity_apply(
+                    d["Kp"], u, pairs=self.k_pairs, co=3,
+                    wc2=conv_wc, pairs2=self.conv_pairs2, blk=512,
+                )
+            elif parity:
+                def conv_apply(u_star):
+                    r1e = jnp.einsum("ije,dje->die", ae, gather(u_star))
+                    return pstl.parity_scatter_elem_flat(
+                        r1e, self.coarse_dims
                     )
-                    ka_wc = d["Kp"] + conv_p
-                    ka_mul = lambda u: pstl.parity_apply(
-                        ka_wc, u, pairs=self.k_pairs, co=3
-                    )
-                else:
-                    # matrix-free (default): measured winner at 2-3
-                    # sub-iterations on the interleaved path; re-measure
-                    # vs "assemble" now that assembly is 16 ops
-                    def conv_apply(u_star):
-                        r1e = jnp.einsum("ije,dje->die", ae, gather(u_star))
-                        return pstl.parity_scatter_elem(
-                            r1e, self.elem_dims, self.coarse_dims, sp_c
-                        )
 
-                    ka_mul = lambda u: k_mul(u) + conv_apply(u)
+                ka_mul = lambda u: k_mul(u) + conv_apply(u)
             elif cfg.conv_mode == "assemble":
                 # scatter A_e into K's DIA rows -> (K+A) is ONE Pallas
                 # stencil apply per sub-iteration
@@ -903,11 +929,13 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                 conv = convection_apply_stencil(
                     un[:, :Sr2], unp_half_prev[:, :Sr2], d["Sv"], d["gDSv"],
                     d["gq"], self.local_off, self.elem_dims, self.fine_dims,
+                    stab_coef=cfg.conv_stab,
                 )
                 r1 -= jnp.pad(conv, ((0, 0), (0, self.s_pad - Sr2)))
             else:
                 conv = convection_apply(
-                    un, unp_half_prev, d["ltog"], d["Sv"], d["gDSv"], d["gq"], nn
+                    un, unp_half_prev, d["ltog"], d["Sv"], d["gDSv"], d["gq"],
+                    nn, stab_coef=cfg.conv_stab,
                 )
                 r1 -= jnp.pad(conv, ((0, 0), (0, self.s_pad - nn)))
             r1 -= g_pn

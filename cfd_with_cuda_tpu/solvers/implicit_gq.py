@@ -673,6 +673,11 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         )
         u0_gq = jnp.einsum("ki,die->dke", d["Sv"], u0_e)
         udotg = jnp.einsum("dke,djke->jke", u0_gq, d["gDSv"])
+        if cfg.conv_stab:
+            # Temam (div u0) Sv_i Sv_j term (SolverConfig.conv_stab; the
+            # ref carries it with coefficient 0.0, :3864-3865)
+            div0 = jnp.einsum("djke,dje->ke", d["gDSv"], u0_e)
+            udotg = udotg + cfg.conv_stab * div0[None] * d["Sv"].T[:, :, None]
         ae = jnp.einsum("ki,ke,jke->ije", d["Sv"], d["gq"], udotg)
         # Dirichlet row-zeroing in ELEMENT space: contributions whose
         # output node is a BC node vanish (the static MKp already carries
@@ -793,6 +798,9 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         u0_e = gather_elem_stencil(uk_prev[:, :S], self.elem_dims, self.fine_dims)
         u0_gq = jnp.einsum("ki,die->dke", d["Sv"], u0_e)
         udotg = jnp.einsum("dke,djke->jke", u0_gq, d["gDSv"])
+        if cfg.conv_stab:
+            div0 = jnp.einsum("djke,dje->ke", d["gDSv"], u0_e)
+            udotg = udotg + cfg.conv_stab * div0[None] * d["Sv"].T[:, :, None]
         ae = jnp.einsum("ki,ke,jke->ije", d["Sv"], d["gq"], udotg)
         conv_vals = assemble_window_values(
             ae, self.local_off, self.conv_oij, len(self.a_offsets),
@@ -1001,7 +1009,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         # ---- step1 LHS: A = M/dt + K + A(u^k), BC rows zeroed (:3916-3929)
         conv_vals = convection_assemble_csr(
             uk_prev, d["ltog"], d["Sv"], d["gDSv"], d["gq"],
-            d["scatter_m"], self._nnz,
+            d["scatter_m"], self._nnz, stab_coef=cfg.conv_stab,
         )
         a_csr = (d["mk_vals_csr"] + conv_vals) * d["row_mask"] + d["diag_add"]
         a_ell = jnp.zeros(

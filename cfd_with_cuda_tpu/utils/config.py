@@ -94,14 +94,27 @@ class SolverConfig:
     # stopping bounds, so the solution contract is unchanged — only the
     # iteration counts drop.  Off = the reference's zero initial guesses.
     implicit_warm_start: bool = True
-    # Convection treatment on the fused Pallas path: "matrix-free"
-    # precomputes the elemental matrices A_e(un) once per step and
-    # applies them per sub-iteration (gather -> batched matvec ->
-    # scatter); "assemble" additionally scatters A_e into K's DIA rows
-    # so (K+A) is one Pallas stencil apply — cheaper per sub-iteration
-    # but pays ~9 ms/step of dilated-pad assembly (wins only when many
-    # sub-iterations run per step).
-    conv_mode: str = "matrix-free"
+    # Convection treatment on the fused Pallas path.  "auto" (default):
+    # on the PARITY layout, stream A(un) as 729 per-pair weight planes
+    # through the K parity_apply kernel (second weight table) so (K+A) u
+    # is ONE all-Pallas op per sub-iteration — measured 4.7 vs 10.4
+    # ms/step at NE27000 against the matrix-free form, whose XLA
+    # gather/matvec/scatter ops poison the schedule next to the fused
+    # CG; matrix-free elsewhere.  "matrix-free" forces the elemental
+    # A_e(un) gather -> batched matvec -> scatter per sub-iteration.
+    # "assemble"/"planes" force the assembled/planes form (on the
+    # interleaved layout "assemble" scatters A_e into K's DIA rows —
+    # one stencil apply, ~9 ms/step of dilated-pad assembly).
+    conv_mode: str = "auto"
+    # Coefficient of the (div u0) * Sv_i * Sv_j Temam stabilization term
+    # added to the convection matrix.  The reference's implicit kernel
+    # carries exactly this term HARDCODED TO 0.0
+    # (``guermondQuartapelle.cpp:3864-3865``), so 0.0 is reference
+    # behaviour; 0.5 makes the discrete convection operator
+    # skew-symmetric up to boundary terms, removing the energy bias that
+    # drives the explicit scheme's documented long-horizon drift
+    # (docs/VALIDATION.md) — a capability EXTENSION, not a parity item.
+    conv_stab: float = 0.0
     # CG iterations per convergence check in the fused Pallas solver
     # (the scalar check between while-loop trips stalls the pipeline for
     # about one kernel body).  Iteration counts round up to a multiple.

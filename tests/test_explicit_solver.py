@@ -32,6 +32,25 @@ def test_parity_with_oracle(small_setup):
     assert [int(h["iters"]) for h in hist] == [it for _, it in oh]
 
 
+def test_conv_stab_parity_with_oracle():
+    """conv_stab (Temam (div u0) Sv_i Sv_j stabilization,
+    SolverConfig.conv_stab) matches the independent oracle with the same
+    coefficient — and changes the trajectory vs the unstabilized run."""
+    deck = cavity_deck(3, viscosity=0.1, dt=0.005, t_final=1.0)
+    solver = ExplicitBCHSolver(
+        deck, SolverConfig(steps_per_chunk=5, conv_stab=0.5)
+    )
+    oracle = ExplicitOracle(deck, conv_stab=0.5)
+    state, hist = solver.run(n_steps=10)
+    u_j, p_j = solver.fields(state)
+    u_o, p_o, oh = oracle.run(10)
+    np.testing.assert_allclose(u_j, u_o, atol=1e-12)
+    np.testing.assert_allclose(p_j, p_o, atol=1e-11)
+    base = ExplicitOracle(deck, conv_stab=0.0)
+    u_b, _, _ = base.run(10)
+    assert np.abs(u_b - u_o).max() > 1e-8
+
+
 def test_monitor_and_bcs(small_setup):
     deck, solver, _ = small_setup
     state, hist = solver.run(n_steps=5)

@@ -436,6 +436,79 @@ def test_parity_elem_gather_scatter_match(solver):
     )
 
 
+def test_flat_elemental_ops_match_box_forms(solver):
+    """The FLAT minor-axis-shift elemental gather/scatter (round 4:
+    replaces the tile-hostile 3-D box slice/DUS forms in the parity
+    convection) agrees with the box forms at element positions, and the
+    whole embedded-axis matrix-free convection apply reproduces the
+    NE-axis one exactly."""
+    s = solver
+    assert s.elem_structured
+    cdims, sp = ps.parity_dims(s.fine_dims)
+    u = rand_u(s, 7)
+    up = ps.parity_split(u, s.fine_dims, sp)
+
+    # gather: flat form at embedded element positions == box form
+    box_g = np.asarray(ps.parity_gather_elem(up, s.elem_dims, cdims))
+    flat_g = np.asarray(ps.parity_gather_elem_flat(up, cdims))
+    ex, ey, ez = s.elem_dims
+    cx, cy, cz = cdims
+    emb = (
+        np.arange(ex)[None, None, :]
+        + cx * (np.arange(ey)[None, :, None] + cy * np.arange(ez)[:, None, None])
+    ).ravel()
+    np.testing.assert_array_equal(flat_g[..., emb], box_g)
+
+    # scatter: r_e embedded on the coarse axis scatters to the same field
+    rng = np.random.default_rng(8)
+    ne = int(np.prod(s.elem_dims))
+    r_e = jnp.asarray(rng.standard_normal((3, 27, ne)), jnp.float32)
+    r_e_flat = jnp.zeros((3, 27, sp), jnp.float32).at[..., emb].set(r_e)
+    box_s = np.asarray(ps.parity_scatter_elem(r_e, s.elem_dims, cdims, sp))
+    flat_s = np.asarray(ps.parity_scatter_elem_flat(r_e_flat, cdims))
+    np.testing.assert_allclose(flat_s, box_s, atol=1e-6)
+
+    # embedded element tables: zero outside element positions
+    t = np.asarray(
+        ps.embed_elem_table(
+            np.arange(ne, dtype=np.float32) + 1.0, s.elem_dims, cdims, sp
+        )
+    )
+    assert np.array_equal(np.flatnonzero(t), emb)
+
+
+def test_conv_planes_route_matches_matrix_free():
+    """conv_mode='planes' (all-Pallas K+A via the second weight table)
+    reproduces the flat matrix-free parity solver over 3 time steps at
+    identical CG iteration counts."""
+    import jax
+
+    deck = cavity_deck(4, viscosity=0.01, dt=0.001)
+    cfg = dict(
+        dtype_policy=DTypePolicy.F32, pressure_backend="pallas",
+        setup_cache="off", steps_per_chunk=1,
+        structured_layout="parity",
+    )
+    s_mf = ExplicitBCHSolver(
+        deck, SolverConfig(conv_mode="matrix-free", **cfg)
+    )
+    s_pl = ExplicitBCHSolver(deck, SolverConfig(conv_mode="planes", **cfg))
+    fn_m = jax.jit(s_mf._chunk_fn(1))
+    fn_p = jax.jit(s_pl._chunk_fn(1))
+    st_m = s_mf.initial_state()
+    st_p = s_pl.initial_state()
+    for _ in range(3):
+        st_m, packed_m = fn_m(s_mf.d, st_m)
+        st_p, packed_p = fn_p(s_pl.d, st_p)
+    u_m, p_m = s_mf.fields(st_m)
+    u_p, p_p = s_pl.fields(st_p)
+    np.testing.assert_allclose(u_p, u_m, atol=5e-6)
+    np.testing.assert_allclose(p_p, p_m, atol=5e-5)
+    mm, mp = np.asarray(packed_m), np.asarray(packed_p)
+    np.testing.assert_allclose(mp[:5], mm[:5], atol=5e-6)
+    assert mm[6] == mp[6]                                   # cg iters
+
+
 def test_implicit_parity_mixed_policy_matches_f32():
     """DTypePolicy.MIXED (f32 state + f64/compensated Krylov reductions)
     on the implicit parity path: runs, stays finite, and tracks the F32

@@ -70,6 +70,29 @@ def test_cross_validates_against_monolithic_gls(long_run):
     assert np.corrcoef(u_s.ravel(), u_g.ravel())[0, 1] > 0.98
 
 
+def test_thru_flow_non_convergence_is_pinned():
+    """docs/VALIDATION.md documents that the SIMPLE-like outer loop does
+    NOT converge on convective thru-flow (the reference only ever ran it
+    on Re<=1 enclosed cavities).  Pin that limitation: on the Kovasznay
+    thru-flow deck the pressure-correction tail must NOT contract the
+    way the cavity family does — if this starts converging, the
+    documentation (and the solver's advertised scope) must change."""
+    from cfd_with_cuda_tpu.mesh.generators import kovasznay_legacy_deck
+
+    deck = kovasznay_legacy_deck(4, 6, 2, re=40.0)
+    solver = SegregatedSolver(deck, solver_tol=1e-8, solver_maxiter=300)
+    u, p, hist = solver.solve(max_outer=25, tol=1e-12)
+    dps = np.array([h["max_dp"] for h in hist[1:]])
+    # the documented behaviour: no convergence — the dp tail stays at
+    # the same order as (or above) the development peak instead of
+    # contracting below it (the cavity contracts to <0.7x by iter 50)
+    assert len(hist) == 25, "outer loop unexpectedly met tol=1e-12"
+    assert dps[-3:].min() > 0.2 * dps.max(), (
+        "segregated thru-flow started contracting — update "
+        "docs/VALIDATION.md and drop this pin"
+    )
+
+
 def test_relaxation_from_deck():
     deck = cavity_legacy_deck(2)
     deck.relaxation = (0.3, 0.3, 0.3, 0.7)
