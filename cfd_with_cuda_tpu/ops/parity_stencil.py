@@ -65,9 +65,8 @@ __all__ = [
     "parity_scatter_elem_flat",
     "build_conv_plane_route",
     "conv_planes_from_ae",
-    "build_conv_assembly_route",
+    "conv_plane_merge_matrix",
     "diag_plane_indices",
-    "parity_assemble_conv",
     "decode_offsets",
 ]
 
@@ -744,6 +743,51 @@ def conv_planes_from_ae(ae, *, groups):
     return jnp.concatenate(parts, axis=0)[None]
 
 
+def conv_plane_merge_matrix(local_off, i_order, pairs, coarse_dims):
+    """Host, setup-time: 0/1 selection ``sel (n_planes, 27*27)`` merging
+    the 729 convection planes (in :func:`build_conv_plane_route` order)
+    onto a STATIC concat-slot table's planes:
+
+        merged = sel @ conv_planes    (one MXU matmul per step)
+
+    Each conv plane (i, j) lands on the static plane with the same
+    (p_out, p_in, dq) key — the scatter-free replacement for the
+    grouped windowed scatter-add route (which lowered to a real XLA
+    scatter and measured 321 ms/step on TPU).  Raises ``ValueError``
+    when a target
+    plane is structurally absent from ``pairs`` (e.g. fully masked by
+    Dirichlet rows on a one-element-thin box) — callers fall back."""
+    cx, cy, _ = coarse_dims
+    cls = lambda o: ((o[2] & 1) * 2 + (o[1] & 1)) * 2 + (o[0] & 1)
+    di_of = lambda o: (o[0] >> 1, o[1] >> 1, o[2] >> 1)
+    n_planes = 1 + max(j for cls_ in pairs for (j, _, _) in cls_)
+    nj = len(local_off)
+    sel = np.zeros((n_planes, len(i_order) * nj), np.float32)
+    row = 0
+    for i in i_order:
+        oi = local_off[i]
+        di = di_of(oi)
+        p_out = cls(oi)
+        for oj in local_off:
+            dj = di_of(oj)
+            dq = ((dj[2] - di[2]) * cy + (dj[1] - di[1])) * cx + (
+                dj[0] - di[0]
+            )
+            hits = [
+                jj for (jj, pp, dd) in pairs[p_out]
+                if pp == cls(oj) and dd == dq
+            ]
+            if not hits:
+                raise ValueError(
+                    f"static plane (p_out={p_out}, p_in={cls(oj)}, "
+                    f"dq={dq}) absent — cannot merge the convection "
+                    "planes"
+                )
+            sel[hits[0], row] = 1.0
+            row += 1
+    return sel
+
+
 # ------------------------------------------ per-step LHS assembly (implicit)
 #
 # The implicit integrator re-assembles A = M/dt + K + A(u^k) every step.
@@ -752,50 +796,11 @@ def conv_planes_from_ae(ae, *, groups):
 # node o = (ox,oy,oz) in {0,1,2}^3 is class (o&1) at coarse (I,J,K)+(o>>1),
 # so entry A[row=node_i, col=node_j] belongs to plane
 # (p_out=class(i), p_in=class(j), dq=(oj>>1)-(oi>>1)) at coarse position
-# (I,J,K)+(oi>>1) — a CONTIGUOUS dynamic-update-slice add of ae[i, j]
-# (the interleaved path needs interior-dilated pads here, ~10x under
-# bandwidth).  The (i, j) -> (plane, di) map is injective, and within a
-# fixed coarse offset di the planes are unique, so grouping the 729
-# pairs by their 8 possible di vectors turns the assembly into 8
-# static-index gathers + 8 windowed scatter-adds (instead of 729
-# separate DUS ops — which bloat both the HLO and dispatch).
-
-
-def build_conv_assembly_route(local_off, pairs, coarse_dims):
-    """Host, setup-time: (i, j) channel pair -> (plane, DUS offset).
-
-    ``local_off``: the 27 local-node offsets in window-channel (z-major)
-    order (the ae einsum's i/j axes).  ``pairs``: the concat-slot routing
-    of the STATIC part's table (``build_parity_apply_tables`` on
-    M/dt + K) — the per-step convection shares its adjacency, so every
-    (i, j) plane must already be live there (consistent mass guarantees
-    it; raises if a plane was dropped).  Returns a tuple of
-    ``(i, j, plane, (dx, dy, dz))``.
-    """
-    cx, cy, _ = coarse_dims
-    cls = lambda o: ((o[2] & 1) * 2 + (o[1] & 1)) * 2 + (o[0] & 1)
-    route = []
-    for i, oi in enumerate(local_off):
-        p_out = cls(oi)
-        di = (oi[0] >> 1, oi[1] >> 1, oi[2] >> 1)
-        for j, oj in enumerate(local_off):
-            p_in = cls(oj)
-            dj = (oj[0] >> 1, oj[1] >> 1, oj[2] >> 1)
-            dq = ((dj[2] - di[2]) * cy + (dj[1] - di[1])) * cx + (
-                dj[0] - di[0]
-            )
-            hits = [
-                jj for (jj, pp, dd) in pairs[p_out]
-                if pp == p_in and dd == dq
-            ]
-            if not hits:
-                raise ValueError(
-                    f"plane (p_out={p_out}, p_in={p_in}, dq={dq}) for "
-                    f"channel pair ({i},{j}) is not live in the static "
-                    "table — cannot route the convection assembly"
-                )
-            route.append((i, j, hits[0], di))
-    return tuple(route)
+# (I,J,K)+(oi>>1).  Because the shifted convection planes
+# (conv_planes_from_ae) already carry exactly that coarse offset, the
+# whole assembly is ``conv_plane_merge_matrix @ planes`` — one MXU
+# matmul, no scatter (the grouped windowed scatter-add this replaced
+# lowered to a real XLA scatter and measured 321 ms/step on TPU).
 
 
 def diag_plane_indices(pairs):
@@ -807,50 +812,6 @@ def diag_plane_indices(pairs):
         assert len(hits) == 1, (p, hits)
         out.append(hits[0])
     return tuple(out)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("route", "n_planes", "elem_dims",
-                              "coarse_dims", "sp")
-)
-def parity_assemble_conv(ae, *, route, n_planes, elem_dims, coarse_dims, sp):
-    """(1, n_planes, sp) concat-slot table from elemental convection
-    matrices ``ae (27, 27, NE)`` (window-channel order, NE z-major).
-
-    The 729 (i, j) channel pairs are grouped by their coarse offset
-    ``di`` (8 groups); each group is one static-index gather over the
-    flattened (i, j) axis + one windowed scatter-add into unique planes
-    at the group's shifted box — 16 ops total instead of 729 DUS.
-    """
-    ex, ey, ez = elem_dims
-    cx, cy, cz = coarse_dims
-    nj = ae.shape[1]
-    groups: dict = {}
-    for (i, j, jp, di) in route:
-        groups.setdefault(di, []).append((i * nj + j, jp))
-    out = jnp.zeros((n_planes, cz, cy, cx), ae.dtype)
-    # Gather channel pairs on a 2D (729, ez*ey*ex) view, NOT the 4D
-    # (729, ez, ey, ex) one: on real TPU the 4D gather materializes its
-    # output plane-axis-minor ({0,3,2,1:T(8,128)} — each (z,y,x) element
-    # padded to 128 lanes over the gathered axis) and double-buffers a
-    # full 128-plane tile in scoped vmem, 2 x 14.06 MB > the 16 MB limit
-    # at NE27000 (observed v5e compile OOM, independent of how many
-    # planes are gathered).  In 2D the minor axis is the flat element
-    # axis and the gather streams row tiles; the barrier keeps the
-    # reshape from folding back into the gather.
-    ae2 = ae.reshape(-1, ez * ey * ex)
-    for (dx, dy, dz) in sorted(groups):
-        pairs_g = sorted(groups[(dx, dy, dz)], key=lambda t: t[1])
-        dst = [p for (_, p) in pairs_g]
-        assert len(set(dst)) == len(dst), "planes not unique within group"
-        src = np.asarray([s for (s, _) in pairs_g])
-        v = jax.lax.optimization_barrier(ae2[src])
-        v = v.reshape(-1, ez, ey, ex)
-        out = out.at[
-            np.asarray(dst), dz:dz + ez, dy:dy + ey, dx:dx + ex
-        ].add(v, unique_indices=True, indices_are_sorted=True)
-    out = out.reshape(n_planes, -1)
-    return jnp.pad(out, ((0, 0), (0, sp - cx * cy * cz)))[None]
 
 
 def decode_offsets(flat_offsets, fine_dims, radius: int = 2):

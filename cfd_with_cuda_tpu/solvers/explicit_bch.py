@@ -96,7 +96,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         "monitor_node_p", "bc_of_node", "use_mg", "mg_dims", "mg_radii",
         "mg_omegas", "_pallas_layout", "conv_oij",
         "layout", "sp_c", "k_pairs", "g_pairs", "mon_cls", "mon_q",
-        "conv_route", "conv_i_order", "conv_groups", "conv_pairs2",
+        "conv_i_order", "conv_groups", "conv_pairs2",
     )
 
     # ------------------------------------------------------------------ setup
@@ -131,7 +131,6 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         self.g_pairs = None
         self.mon_cls = None
         self.mon_q = None
-        self.conv_route = None
         self.conv_i_order = None
         self.conv_groups = None
         self.conv_pairs2 = None
@@ -502,7 +501,6 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
              self.conv_pairs2) = pstl.build_conv_plane_route(
                 self.local_off, (cx, cy, cz)
             )
-            self.conv_route = None          # legacy assemble route: dead
             # element tables re-embedded on the coarse-flat axis: the
             # parity convection is matrix-free over FLAT minor-axis
             # shifts (parity_gather/scatter_elem_flat) — the 3-D box

@@ -72,8 +72,8 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         "gt_radius", "conv_oij", "_ell_shape", "_nnz",
         "s_pad", "pin_grid", "monitor_node", "monitor_node_p", "use_mg",
         "mg_dims", "mg_radii", "mg_omegas", "_pallas_layout", "ppe_project",
-        "layout", "sp_c", "a_pairs", "m_pairs", "g_pairs", "conv_route",
-        "diag_planes", "mon_cls", "mon_q",
+        "layout", "sp_c", "a_pairs", "m_pairs", "g_pairs",
+        "diag_planes", "mon_cls", "mon_q", "conv_i_order", "conv_groups",
     )
 
     def _setup(self) -> None:
@@ -105,7 +105,8 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         self.a_pairs = None
         self.m_pairs = None
         self.g_pairs = None
-        self.conv_route = None
+        self.conv_i_order = None
+        self.conv_groups = None
         self.diag_planes = None
         self.mon_cls = None
         self.mon_q = None
@@ -547,8 +548,19 @@ class ImplicitGQSolver(ChunkedTimeLoop):
                 col = mkp[0, self.diag_planes[p]]
                 mkp[0, self.diag_planes[p]] = np.where(col == 0.0, 1.0, col)
             try:
-                self.conv_route = pstl.build_conv_assembly_route(
-                    self.local_off, self.a_pairs, (cx, cy, cz)
+                # scatter-free per-step LHS assembly: the 729 convection
+                # planes (8 contiguous shifts of the embedded-axis ae)
+                # merge onto the static MKp planes with ONE MXU matmul
+                # (conv_plane_merge_matrix; the old grouped windowed
+                # scatter-add, parity_assemble_conv, measured 321
+                # ms/step on TPU)
+                (self.conv_i_order, self.conv_groups,
+                 _unused_pairs2) = pstl.build_conv_plane_route(
+                    self.local_off, (cx, cy, cz)
+                )
+                conv_sel = pstl.conv_plane_merge_matrix(
+                    self.local_off, self.conv_i_order, self.a_pairs,
+                    (cx, cy, cz),
                 )
             except ValueError:
                 # Dirichlet masking zeroed an entire (class, offset)
@@ -558,6 +570,8 @@ class ImplicitGQSolver(ChunkedTimeLoop):
                 # explicit_bch.py), this path NEEDS the route — fall back
                 # to the interleaved layout for the whole solver.
                 self.layout = "interleaved"
+                self.conv_i_order = None
+                self.conv_groups = None
             if self.layout == "parity":
                 mp, self.m_pairs = pstl.build_parity_apply_tables(
                     np.asarray(self.d["M_vals"]), offs_a, (fx, fy, fz)
@@ -581,15 +595,26 @@ class ImplicitGQSolver(ChunkedTimeLoop):
                 self.d["bc_mask_p"] = pstl.parity_split_table(
                     self.d["bc_mask"], (fx, fy, fz), sp_c
                 )
-                # elemental Dirichlet row mask, gathered ONCE at setup
-                # (the per-step body must not re-gather a constant inside
-                # the chunk while-loop — XLA does not hoist it out)
-                self.d["bc_mask_e"] = np.asarray(
-                    pstl.parity_gather_elem(
-                        self.d["bc_mask_p"][None],
-                        self.elem_dims, (cx, cy, cz),
-                    )[0],
-                    dtype,
+                # elemental Dirichlet row mask on the EMBEDDED flat axis,
+                # i channels pre-permuted to conv_i_order (it multiplies
+                # ae's i axis, which the step builds permuted); gathered
+                # ONCE at setup (the per-step body must not re-gather a
+                # constant inside the chunk while-loop)
+                mask_p = np.asarray(self.d["bc_mask_p"], dtype)
+                mask_e = np.zeros((27, sp_c), dtype)
+                for c, (p_idx, dqf) in enumerate(
+                    pstl.elem_channel_shifts((cx, cy, cz))
+                ):
+                    mask_e[c, : sp_c - dqf] = mask_p[p_idx, dqf:]
+                self.d["bc_mask_e"] = mask_e[np.asarray(self.conv_i_order)]
+                self.d["conv_sel"] = np.asarray(conv_sel, dtype)
+                # element tables re-embedded on the coarse-flat axis for
+                # the flat ae build (see explicit_bch / parity_stencil)
+                self.d["gDSv_p"] = pstl.embed_elem_table(
+                    self.d["gDSv"], self.elem_dims, (cx, cy, cz), sp_c
+                )
+                self.d["gq_p"] = pstl.embed_elem_table(
+                    self.d["gq"], self.elem_dims, (cx, cy, cz), sp_c
                 )
                 self.d["bc_vel_p"] = pstl.parity_split_table(
                     self.d["bc_vel"], (fx, fy, fz), sp_c
@@ -605,11 +630,12 @@ class ImplicitGQSolver(ChunkedTimeLoop):
                 self.mon_q = (
                     (mxyz[2] >> 1) * cy + (mxyz[1] >> 1)
                 ) * cx + (mxyz[0] >> 1)
-                # the step never touches the interleaved big tables: drop
-                # them from HBM + the snapshot
+                # the step never touches the interleaved big tables (nor
+                # the element-axis tables the flat ae build re-embedded):
+                # drop them from HBM + the snapshot
                 for key in ("MK_vals", "M_vals", "G_win", "GT_win",
                             "Z_win", "row_mask_grid", "diag_add_grid",
-                            "bc_mask", "bc_vel"):
+                            "bc_mask", "bc_vel", "gDSv", "gq"):
                     self.d.pop(key, None)
 
     # ----------------------------------------------------------------- state
@@ -667,27 +693,32 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         uk_prev, pk_prev, pk_prevprev = state       # uk (3, 8, Sp)
         sp_c = self.sp_c
 
-        # ---- per-step LHS: A = (M/dt + K)|masked + masked A(u^k)
-        u0_e = pstl.parity_gather_elem(
-            uk_prev, self.elem_dims, self.coarse_dims
-        )
+        # ---- per-step LHS: A = (M/dt + K)|masked + masked A(u^k).
+        # Flat ae build (embedded element axis, minor-axis shift gathers)
+        # -> 729 convection weight planes (8 contiguous shifts) -> ONE
+        # MXU matmul merges them onto the static MKp planes — no XLA
+        # scatter anywhere (parity_assemble_conv's grouped windowed
+        # scatter-add measured 321 ms/step on TPU).
+        u0_e = pstl.parity_gather_elem_flat(uk_prev, self.coarse_dims)
         u0_gq = jnp.einsum("ki,die->dke", d["Sv"], u0_e)
-        udotg = jnp.einsum("dke,djke->jke", u0_gq, d["gDSv"])
+        udotg = jnp.einsum("dke,djke->jke", u0_gq, d["gDSv_p"])
         if cfg.conv_stab:
             # Temam (div u0) Sv_i Sv_j term (SolverConfig.conv_stab; the
             # ref carries it with coefficient 0.0, :3864-3865)
-            div0 = jnp.einsum("djke,dje->ke", d["gDSv"], u0_e)
+            div0 = jnp.einsum("djke,dje->ke", d["gDSv_p"], u0_e)
             udotg = udotg + cfg.conv_stab * div0[None] * d["Sv"].T[:, :, None]
-        ae = jnp.einsum("ki,ke,jke->ije", d["Sv"], d["gq"], udotg)
+        sv_i = d["Sv"][:, np.asarray(self.conv_i_order)]
+        ae = jnp.einsum("ki,ke,jke->ije", sv_i, d["gq_p"], udotg)
         # Dirichlet row-zeroing in ELEMENT space: contributions whose
         # output node is a BC node vanish (the static MKp already carries
-        # the unit diagonal there); the mask is gathered once at setup
+        # the unit diagonal there); the mask is gathered once at setup,
+        # i channels pre-permuted to conv_i_order like ae's i axis
         ae = ae * d["bc_mask_e"][:, None, :]
-        conv_p = pstl.parity_assemble_conv(
-            ae, route=self.conv_route, n_planes=int(d["MKp"].shape[1]),
-            elem_dims=self.elem_dims, coarse_dims=self.coarse_dims,
-            sp=sp_c,
-        )
+        conv_wc = pstl.conv_planes_from_ae(ae, groups=self.conv_groups)
+        conv_p = jnp.einsum(
+            "pj,js->ps", d["conv_sel"], conv_wc[0],
+            preferred_element_type=ae.dtype,
+        )[None]
         a_wc = d["MKp"] + conv_p
         a_diag = jnp.stack(
             [a_wc[0, jp] for jp in self.diag_planes]

@@ -34,7 +34,7 @@ __all__ = [
 ]
 
 # bump when solver snapshot layouts change — stale entries just miss
-SCHEMA = 14
+SCHEMA = 15
 
 
 def default_cache_dir() -> str | None:

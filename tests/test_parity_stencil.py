@@ -326,10 +326,10 @@ def test_implicit_parity_solver_steps_match_interleaved():
     assert abs(float(mi[7].ravel()[0]) - float(mp[7].ravel()[0])) <= 1.0
 
 
-def test_explicit_parity_assembled_conv_matches_matrix_free():
-    """conv_mode='assemble' on the parity layout (A(un) added once per
-    step into K's concat-slot planes; (K+A) = one parity_apply per
-    sub-iteration) matches the matrix-free default to FP-order noise."""
+def test_explicit_parity_conv_planes_matches_matrix_free():
+    """The parity default ('auto' -> all-Pallas conv planes: A(un)
+    streamed as 729 weight planes through the K parity_apply) matches
+    the flat matrix-free form to FP-order noise."""
     import jax
 
     deck = cavity_deck(4, viscosity=0.01, dt=0.001)
@@ -338,8 +338,8 @@ def test_explicit_parity_assembled_conv_matches_matrix_free():
         setup_cache="off", structured_layout="parity", steps_per_chunk=1,
     )
     s_mf = ExplicitBCHSolver(deck, SolverConfig(conv_mode="matrix-free", **base))
-    s_as = ExplicitBCHSolver(deck, SolverConfig(conv_mode="assemble", **base))
-    assert s_as.conv_route
+    s_as = ExplicitBCHSolver(deck, SolverConfig(**base))
+    assert s_as.conv_groups
     fn_mf = jax.jit(s_mf._chunk_fn(1))
     fn_as = jax.jit(s_as._chunk_fn(1))
     st_mf = s_mf.initial_state()
@@ -353,9 +353,12 @@ def test_explicit_parity_assembled_conv_matches_matrix_free():
     np.testing.assert_allclose(p1, p0, atol=5e-5)
 
 
-def test_parity_assemble_conv_matches_per_pair_loop():
-    """The grouped (8 gather + 8 scatter-add) assembly equals the
-    literal one-DUS-per-(i,j)-pair reference."""
+def test_conv_plane_merge_matches_per_pair_loop():
+    """The implicit scatter-free LHS convection (conv_planes_from_ae +
+    the conv_sel merge matmul) equals the literal
+    one-scatter-per-(i,j)-pair numpy reference: each elemental channel
+    pair (i, j) lands in ONE concat-slot plane at ONE fixed coarse
+    offset di = oi >> 1."""
     from cfd_with_cuda_tpu.solvers.implicit_gq import ImplicitGQSolver
 
     deck = cavity_deck(4, viscosity=0.01, dt=0.01)
@@ -366,21 +369,37 @@ def test_parity_assemble_conv_matches_per_pair_loop():
             setup_cache="off", structured_layout="parity",
         ),
     )
+    assert s.layout == "parity" and s.conv_groups
     rng = np.random.default_rng(3)
     ne = int(np.prod(s.elem_dims))
     ae = rng.standard_normal((27, 27, ne)).astype(np.float32)
     n_planes = int(s.d["MKp"].shape[1])
-    got = np.asarray(ps.parity_assemble_conv(
-        jnp.asarray(ae), route=s.conv_route, n_planes=n_planes,
-        elem_dims=s.elem_dims, coarse_dims=s.coarse_dims, sp=s.sp_c,
-    ))
+    # new path: embed on the coarse-flat axis, i channels in conv_i_order
+    ae_e = ps.embed_elem_table(ae, s.elem_dims, s.coarse_dims, s.sp_c)
+    ae_p = jnp.asarray(ae_e[np.asarray(s.conv_i_order)])
+    conv_wc = ps.conv_planes_from_ae(ae_p, groups=s.conv_groups)
+    got = np.asarray(
+        jnp.einsum("pj,js->ps", jnp.asarray(s.d["conv_sel"]), conv_wc[0])
+    )[None]
+    # independent per-pair reference on the 3-D coarse boxes
     ex, ey, ez = s.elem_dims
     cx, cy, cz = s.coarse_dims
+    cls = lambda o: ((o[2] & 1) * 2 + (o[1] & 1)) * 2 + (o[0] & 1)
     ref = np.zeros((n_planes, cz, cy, cx), np.float32)
-    for (i, j, jp, (dx, dy, dz)) in s.conv_route:
-        ref[jp, dz:dz + ez, dy:dy + ey, dx:dx + ex] += (
-            ae[i, j].reshape(ez, ey, ex)
-        )
+    for i, oi in enumerate(s.local_off):
+        di = (oi[0] >> 1, oi[1] >> 1, oi[2] >> 1)
+        for j, oj in enumerate(s.local_off):
+            dj = (oj[0] >> 1, oj[1] >> 1, oj[2] >> 1)
+            dq = ((dj[2] - di[2]) * cy + (dj[1] - di[1])) * cx + (
+                dj[0] - di[0]
+            )
+            hits = [
+                jj for (jj, pp, dd) in s.a_pairs[cls(oi)]
+                if pp == cls(oj) and dd == dq
+            ]
+            assert len(hits) == 1
+            ref[hits[0], di[2]:di[2] + ez, di[1]:di[1] + ey,
+                di[0]:di[0] + ex] += ae[i, j].reshape(ez, ey, ex)
     ref = np.pad(
         ref.reshape(n_planes, -1), ((0, 0), (0, s.sp_c - cx * cy * cz))
     )[None]
