@@ -85,28 +85,35 @@ def run_row(name):
     from cfd_with_cuda_tpu.solvers.implicit_gq import ImplicitGQSolver
     from cfd_with_cuda_tpu.utils.config import DTypePolicy, SolverConfig
 
-    chunk = 10
+    # chunk=50: the packed-stats pull costs ~25 ms/chunk through the
+    # tunnel (profile_chunk, round 4) — at chunk=10 that is a 2.5
+    # ms/step bias on the fast rows
+    chunk = 50
     kw: dict = dict(
         pressure_cg_tol=1e-6, steps_per_chunk=chunk, setup_cache="auto",
     )
     if name == "implicit":
         deck, cls = cavity(), ImplicitGQSolver
-        cfg = SolverConfig(dtype_policy=DTypePolicy.F32, **kw)
-        n = 50
+        cfg = SolverConfig(
+            dtype_policy=DTypePolicy.F32, pressure_warm_start=True, **kw
+        )
+        n = 200
     elif name == "explicit64":
         deck, cls = cavity(), ExplicitBCHSolver
         cfg = SolverConfig(dtype_policy=DTypePolicy.F64, **kw)
-        n = 20
+        n = 50
     elif name == "mixed":
         deck, cls = cavity(), ExplicitBCHSolver
-        cfg = SolverConfig(dtype_policy=DTypePolicy.MIXED, **kw)
-        n = 50
+        cfg = SolverConfig(
+            dtype_policy=DTypePolicy.MIXED, pressure_warm_start=True, **kw
+        )
+        n = 200
     elif name == "ell":
         deck, cls = cavity(), ExplicitBCHSolver
         cfg = SolverConfig(
             dtype_policy=DTypePolicy.F32, structured="never", **kw
         )
-        n = 10
+        n = 50
     elif name == "duct":
         deck = channel_deck(
             48, 32, 32, lengths=(6.0, 1.0, 1.0), cluster=1.5,
@@ -114,15 +121,17 @@ def run_row(name):
         )
         cls = ExplicitBCHSolver
         cfg = SolverConfig(dtype_policy=DTypePolicy.F32, **kw)
-        n = 50
+        n = 100
     elif name in ("ne85", "ne125"):
         from cfd_with_cuda_tpu.mesh.generators import cavity_deck
 
         n_side = {"ne85": 44, "ne125": 50}[name]
         deck = cavity_deck(n_side, cluster=2.0, viscosity=0.01, dt=0.001)
         cls = ExplicitBCHSolver
-        cfg = SolverConfig(dtype_policy=DTypePolicy.F32, **kw)
-        n = 20
+        cfg = SolverConfig(
+            dtype_policy=DTypePolicy.F32, pressure_warm_start=True, **kw
+        )
+        n = 60
     elif name == "spmd1":
         # sharded fast path on a 1-device mesh: same shard_map window
         # kernels + halo ppermutes as the multi-chip path, measured on the
@@ -136,7 +145,7 @@ def run_row(name):
             dtype_policy=DTypePolicy.F32, pressure_backend="pallas",
             pressure_warm_start=True, spmd_devices=jax.device_count(), **kw
         )
-        n = 50
+        n = 200
     elif name == "bfs":
         from cfd_with_cuda_tpu.mesh.generators import bfs_deck
 
@@ -238,21 +247,54 @@ HEADER = (
 )
 
 
-def main():
+def worker(name: str) -> None:
+    """Run ONE row in this process and print its markdown line last."""
     from cfd_with_cuda_tpu.utils.setup_cache import enable_compilation_cache
 
+    if name == "explicit64":
+        # must flip x64 before any jax array exists (the axon
+        # sitecustomize already imported jax, so the config update — not
+        # the env var — is the reliable switch; same as tests/conftest)
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     enable_compilation_cache()
+    try:
+        run_row(name)
+    except Exception as e:  # noqa: BLE001 — parent records the failure
+        print(f"| {name} | FAILED: {type(e).__name__}: {e} |", flush=True)
+        sys.exit(1)
+
+
+def main():
+    import subprocess
+
     rows = sys.argv[1:] or [
         "implicit", "explicit64", "mixed", "ell", "duct", "bendduct",
         "stokes", "segregated", "spmd1", "ne85", "ne125", "bfs",
     ]
+    # one SUBPROCESS per row: a row that crashes the tunneled TPU worker
+    # (seen: compile OOM) must not poison the client of every later row,
+    # and the x64 row needs its own jax config
     results = []
     for name in rows:
-        try:
-            results.append(run_row(name))
-        except Exception as e:  # noqa: BLE001 — keep measuring other rows
-            results.append(f"| {name} | FAILED: {type(e).__name__}: {e} |")
-            print(results[-1], flush=True)
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, __file__, "--worker", name],
+            cwd=str(REPO), capture_output=True, text=True, timeout=3600,
+        )
+        lines = [
+            ln for ln in r.stdout.splitlines() if ln.startswith(f"| {name} |")
+        ]
+        if lines:
+            results.append(lines[-1])
+        else:
+            tail = (r.stderr or r.stdout).strip().splitlines()
+            results.append(
+                f"| {name} | FAILED rc={r.returncode}: "
+                f"{tail[-1][:160] if tail else 'no output'} |"
+            )
+        print(f"{results[-1]}   [{time.time()-t0:.0f}s]", flush=True)
     stamp = time.strftime("%Y-%m-%d %H:%M")
     with OUT.open("a") as f:
         f.write(f"\n## {stamp} (NE27000 cavity unless noted)\n\n{HEADER}")
@@ -261,4 +303,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        worker(sys.argv[2])
+    else:
+        main()
