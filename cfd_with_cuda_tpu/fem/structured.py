@@ -253,11 +253,148 @@ class PromotedBoxInfo:
         return out
 
 
+def _element_box_walk(ltog_node: np.ndarray) -> np.ndarray | None:
+    """Assign each element an integer (i, j, k) grid position from face
+    adjacency alone — no geometry.  Returns ``pos (NE, 3)`` (min 0), or
+    None when the element graph is not a consistently-oriented box grid
+    (rotated/mirrored connectivity, T-junctions, holes, disconnection).
+    """
+    from cfd_with_cuda_tpu.fem.shape import HEX8_LOCAL_COORDS
+
+    ne = ltog_node.shape[0]
+    corners = ltog_node[:, :8]
+    lc = HEX8_LOCAL_COORDS.astype(np.int64)
+    # 6 faces in (ax, side) order: f = 2*ax + (side > 0)
+    face_locals = [
+        np.flatnonzero(lc[:, ax] == side)
+        for ax in range(3)
+        for side in (-1, 1)
+    ]
+    keys = np.stack(
+        [np.sort(corners[:, idx], axis=1) for idx in face_locals], axis=1
+    ).reshape(-1, 4)                       # (NE*6, 4) sorted corner ids
+    order = np.lexsort(keys.T[::-1])
+    sk = keys[order]
+    same = np.all(sk[1:] == sk[:-1], axis=1)
+    if same.size and np.any(same[:-1] & same[1:]):
+        return None                        # >= 3 elements share a face
+    i1 = np.flatnonzero(same)
+    e1, f1 = np.divmod(order[i1], 6)
+    e2, f2 = np.divmod(order[i1 + 1], 6)
+    # consistent orientation: partners must be OPPOSITE faces of the
+    # same axis (my +x face is the neighbour's -x face)
+    if np.any(f1 // 2 != f2 // 2) or np.any(f1 % 2 == f2 % 2):
+        return None
+    adj = np.full((ne, 6), -1, dtype=np.int64)
+    adj[e1, f1] = e2
+    adj[e2, f2] = e1
+
+    dirvec = np.zeros((6, 3), dtype=np.int64)
+    for f in range(6):
+        dirvec[f, f // 2] = -1 if f % 2 == 0 else 1
+    pos = np.zeros((ne, 3), dtype=np.int64)
+    visited = np.zeros(ne, dtype=bool)
+    visited[0] = True
+    frontier = np.array([0], dtype=np.int64)
+    while frontier.size:
+        nbrs = adj[frontier]                               # (F, 6)
+        cand = pos[frontier][:, None, :] + dirvec[None]    # (F, 6, 3)
+        valid = nbrs >= 0
+        ids = nbrs[valid]
+        cpos = cand[valid]
+        new = ~visited[ids]
+        pos[ids[new]] = cpos[new]          # duplicates: last write wins,
+        visited[ids[new]] = True           # the check below re-verifies all
+        if np.any(pos[ids] != cpos):
+            return None                    # conflicting assignments
+        frontier = np.unique(ids[new])
+    if not visited.all():
+        return None                        # disconnected element graph
+    return pos - pos.min(axis=0)
+
+
+def _promoted_box_topological(
+    nn: int, nnp: int, ltog_node: np.ndarray
+) -> PromotedBoxInfo | None:
+    """Topological variant of :func:`detect_promoted_box`: recovers the
+    box structure from element-face adjacency alone, so *logically*
+    structured meshes with curved geometry (the bending duct — a box in
+    index space, an annulus in x-y) ride the structured/Pallas fast path
+    too.  The DIA/window operator form never needed straight geometry:
+    values are per-node streams carrying the true Jacobians."""
+    if ltog_node.shape[1] != 27:
+        return None
+    pos = _element_box_walk(ltog_node)
+    if pos is None:
+        return None
+    ex, ey, ez = (int(v) for v in pos.max(axis=0) + 1)
+    if ex * ey * ez != ltog_node.shape[0]:
+        return None
+    from cfd_with_cuda_tpu.fem.shape import HEX27_LOCAL_COORDS
+
+    fx, fy, fz = 2 * ex + 1, 2 * ey + 1, 2 * ez + 1
+    if fx * fy * fz != nn:
+        return None
+    local = (HEX27_LOCAL_COORDS + 1).astype(np.int64)
+    local_flat = local[:, 2] * fy * fx + local[:, 1] * fx + local[:, 0]
+    origin = (2 * pos[:, 2] * fy + 2 * pos[:, 1]) * fx + 2 * pos[:, 0]
+    flat_all = origin[:, None] + local_flat[None, :]
+    perm = np.full(nn, -1, dtype=np.int64)
+    perm[ltog_node.reshape(-1)] = flat_all.reshape(-1)
+    if not np.array_equal(perm[ltog_node], flat_all):
+        return None                        # inconsistent node placement
+    seen = np.zeros(nn, dtype=bool)
+    seen[perm] = True
+    if not seen.all():
+        return None
+    cx, cy, cz = ex + 1, ey + 1, ez + 1
+    if cx * cy * cz != nnp:
+        return None
+    pf = perm[:nnp]
+    pi, pj, pk = pf % fx, (pf // fx) % fy, pf // (fx * fy)
+    if np.any((pi & 1) | (pj & 1) | (pk & 1)):
+        return None                        # a corner node off the even lattice
+    perm_p = ((pk >> 1) * cy + (pj >> 1)) * cx + (pi >> 1)
+    seen_p = np.zeros(nnp, dtype=bool)
+    seen_p[perm_p] = True
+    if not seen_p.all():
+        return None
+    em = detect_structured_elements(ltog_node, perm, (fx, fy, fz))
+    if em is None:
+        return None                        # (cannot happen given the walk)
+    elem_perm, elem_dims, local8 = em
+    chan = (local8[:, 2] * 3 + local8[:, 1]) * 3 + local8[:, 0]
+    chan_order = np.argsort(chan)
+    local_off = tuple(
+        (int(x), int(y), int(z)) for x, y, z in local8[chan_order]
+    )
+    return PromotedBoxInfo(
+        fine_dims=(fx, fy, fz), coarse_dims=(cx, cy, cz),
+        perm=perm, perm_p=perm_p, embed=pf.copy(),
+        elem_perm=elem_perm, elem_dims=elem_dims,
+        chan_order=chan_order, local_off=local_off,
+    )
+
+
 def detect_promoted_box(
     coords: np.ndarray, nnp: int, ltog_node: np.ndarray
 ) -> PromotedBoxInfo | None:
     """Recognise a promoted mesh as fine (2n+1)^3 over coarse (n+1)^3 box
-    grids with the corner nodes exactly at their embedded fine slots."""
+    grids with the corner nodes exactly at their embedded fine slots.
+
+    Two detectors: the geometric one (axis-aligned coordinate lattice —
+    covers every cube/channel/cavity deck) first, then the topological
+    element-walk (:func:`_promoted_box_topological`) for logically
+    structured meshes with curved coordinates (bending duct)."""
+    geo = _promoted_box_geometric(coords, nnp, ltog_node)
+    if geo is not None:
+        return geo
+    return _promoted_box_topological(coords.shape[0], nnp, ltog_node)
+
+
+def _promoted_box_geometric(
+    coords: np.ndarray, nnp: int, ltog_node: np.ndarray
+) -> PromotedBoxInfo | None:
     gi = detect_structured_grid(coords)
     if gi is None:
         return None

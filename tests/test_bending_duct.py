@@ -6,10 +6,13 @@ benchmark class (``/root/reference/.MISSING_LARGE_BLOBS``) with
 circular bend (mean radius 2.3 D, the Humphrey-Taylor-Whitelaw 1977
 configuration), straight outlet, with the reference's fully-developed
 inlet profile (``blascoCodinaHuerta.cpp:4086-4102``).  The curved
-coordinates make a NON-box-grid hex mesh, so these runs exercise the
-fractional-step solvers' unstructured ELL path with a genuinely curved
-geometry — and the bend produces the secondary-flow physics the
-reference benchmarked this deck for.
+coordinates fail the geometric box detection, but the mesh is a box in
+INDEX space, so the topological element-walk detector
+(``fem.structured._promoted_box_topological``) routes it onto the
+structured/Pallas fast path — with the true curved Jacobians riding in
+the per-node value streams.  One test pins the structured-vs-ELL
+equivalence; the physics tests check the secondary-flow (Dean) pattern
+the reference benchmarked this deck for.
 """
 
 import numpy as np
@@ -67,9 +70,15 @@ def test_inlet_profile_on_promoted_mesh():
 
     solver = ExplicitBCHSolver(
         deck,
-        SolverConfig(dtype_policy=DTypePolicy.F32, setup_cache="off"),
+        SolverConfig(
+            dtype_policy=DTypePolicy.F32, setup_cache="off",
+            # node-order bc_vel below: force the ELL path (the default
+            # now rides the TOPOLOGICAL structured detection, which
+            # permutes device arrays to grid order)
+            structured="never",
+        ),
     )
-    assert not solver.structured          # curved -> unstructured path
+    assert not solver.structured
     c = solver.mesh.coords
     bc_vel = np.asarray(solver.d["bc_vel"])  # (3, NN)
     on_inlet = solver.bc_of_node == 1
@@ -80,6 +89,30 @@ def test_inlet_profile_on_promoted_mesh():
     expect = 2.25 * (4 * eta - 4 * eta**2) * (4 * zeta - 4 * zeta**2)
     np.testing.assert_allclose(bc_vel[0, on_inlet], expect, atol=1e-6)
     assert np.abs(bc_vel[1:, on_inlet]).max() < 1e-12
+
+
+def test_bend_rides_structured_path_and_matches_ell():
+    """The curved duct is topologically a box: the default config must
+    detect it (structured fast path, element-structured convection) and
+    reproduce the unstructured ELL path over 5 time steps."""
+    from cfd_with_cuda_tpu.solvers.explicit_bch import ExplicitBCHSolver
+
+    deck = small_deck()
+    base = dict(
+        dtype_policy=DTypePolicy.F32, setup_cache="off", steps_per_chunk=5,
+        pressure_cg_tol=1e-10,
+    )
+    s_st = ExplicitBCHSolver(deck, SolverConfig(**base))
+    assert s_st.structured and s_st.elem_structured
+    s_el = ExplicitBCHSolver(
+        deck, SolverConfig(structured="never", **base)
+    )
+    st_s, _ = s_st.run(n_steps=5)
+    st_e, _ = s_el.run(n_steps=5)
+    u_s, p_s = s_st.fields(st_s)
+    u_e, p_e = s_el.fields(st_e)
+    np.testing.assert_allclose(u_s, u_e, atol=2e-6)
+    np.testing.assert_allclose(p_s, p_e, atol=2e-5)
 
 
 def test_explicit_bend_smoke():
