@@ -379,11 +379,6 @@ def parity_apply(wc, x, *, pairs, co=None, blk=1024, stream_x=None,
     if stream_x is None:
         stream_x = x_ext.size * x_ext.dtype.itemsize > _X_STREAM_BYTES
     two = wc2 is not None
-    if two and stream_x:
-        raise NotImplementedError(
-            "wc2 + HBM-streamed field: not yet combined (NE85184+ with "
-            "conv planes) — use the flat matrix-free convection there"
-        )
 
     if not stream_x:
         def slot_acc(acc, w, pp, dq, x_ref, s0):
@@ -452,11 +447,17 @@ def parity_apply(wc, x, *, pairs, co=None, blk=1024, stream_x=None,
     # ---- streamed field: x_ext stays in HBM; each grid step DMAs its
     # halo-extended block into a double-buffered VMEM scratch (manual
     # make_async_copy — the same pattern ops.pallas_cg uses for its
-    # weight stream), overlapped with the previous block's compute.
+    # weight stream), overlapped with the previous block's compute.  The
+    # optional second weight table (convection planes) streams per block
+    # exactly like the first — NE85184+ runs the planes route too.
     p_in = x.shape[1]
     ell = blk + 2 * halo + 128          # block + halos + align slack
 
-    def kernel_s(x_hbm, w_ref, o_ref, xbuf, sem):
+    def kernel_s(x_hbm, w_ref, *rest):
+        if two:
+            w2_ref, o_ref, xbuf, sem = rest
+        else:
+            (o_ref, xbuf, sem), w2_ref = rest, None
         i = pl.program_id(0)
         i32 = lambda v: jnp.asarray(v, jnp.int32)
 
@@ -476,24 +477,41 @@ def parity_apply(wc, x, *, pairs, co=None, blk=1024, stream_x=None,
             dma((i + 1) % 2, i + 1).start()
 
         dma(i % 2, i).wait()
+
+        def slot_acc_s(acc, w, pp, dq):
+            start = halo + dq
+            align = (start // 128) * 128
+            rem = start - align
+            xs = xbuf[i % 2, :, pp, pl.ds(align, blk + 128)]
+            xs = lax.slice_in_dim(xs, rem, rem + blk, axis=1)
+            return acc + w * xs
+
         for p in range(8):
             acc = jnp.zeros((co, blk), o_ref.dtype)
             for (j, pp, dq) in pairs[p]:
-                start = halo + dq
-                align = (start // 128) * 128
-                rem = start - align
-                xs = xbuf[i % 2, :, pp, pl.ds(align, blk + 128)]
-                xs = lax.slice_in_dim(xs, rem, rem + blk, axis=1)
-                acc = acc + w_ref[:, j, :] * xs
+                acc = slot_acc_s(acc, w_ref[:, j, :], pp, dq)
+            if two:
+                for (j, pp, dq) in pairs2[p]:
+                    acc = slot_acc_s(acc, w2_ref[:, j, :], pp, dq)
             o_ref[:, p, :] = acc
 
+    w_specs = [
+        pl.BlockSpec((cw, m, blk), lambda i: (0, 0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    w_args = [wc]
+    if two:
+        w_specs.append(
+            pl.BlockSpec((wc2.shape[0], wc2.shape[1], blk),
+                         lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+        )
+        w_args.append(wc2)
     return pl.pallas_call(
         kernel_s,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),          # x stays in HBM
-            pl.BlockSpec((cw, m, blk), lambda i: (0, 0, i),
-                         memory_space=pltpu.VMEM),
+            *w_specs,
         ],
         out_specs=pl.BlockSpec((co, 8, blk), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
@@ -503,7 +521,7 @@ def parity_apply(wc, x, *, pairs, co=None, blk=1024, stream_x=None,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
-    )(x_ext, wc)
+    )(x_ext, *w_args)
 
 
 @functools.partial(jax.jit, static_argnames=("coarse_dims",))

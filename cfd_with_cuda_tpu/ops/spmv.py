@@ -82,6 +82,76 @@ def _udotgrad(u0_e, Sv, gDSv):
     return jnp.einsum("dke,djke->jke", u0_gq, gDSv)
 
 
+def elem_matvec_apply(
+    ke: jax.Array, x: jax.Array, ltog: jax.Array, nn: int
+) -> jax.Array:
+    """y = K @ x matrix-free through the ELEMENTAL matrices: gather ->
+    batched per-element matvec -> deterministic scatter.
+
+    ``ke (NEN, NEN, NE)``, ``x (C, NN)``, ``ltog (NEN, NE)`` -> ``(C, NN)``.
+
+    This is the unstructured path's K apply: the assembled slot-major ELL
+    SpMV gathers L x NN = 125 x NN elements per apply and XLA:TPU runs
+    random gathers at ~1e8 elem/s (measured ~0.7 s/apply at NE27000 —
+    the \"TPU worker crashed\" bench failures were chunk dispatches
+    blowing the tunnel watchdog on exactly that).  The elemental form
+    gathers NEN x NE = 27 x NE (40x less) at identical results up to
+    f32 summation order — the same never-materialise trick as the
+    reference's convection kernel (``CUDAcodes.cu:848-887``), applied to
+    the constant operator.
+    """
+    x_e = _gather_components(x, ltog)                     # (C, NEN, NE)
+    y_e = jnp.einsum("ije,dje->die", ke, x_e)
+    return scatter_nodes(y_e, ltog, nn)
+
+
+def convection_elemental(
+    u0: jax.Array,
+    ltog: jax.Array,
+    Sv: jax.Array,
+    gDSv: jax.Array,
+    gq_factor: jax.Array,
+    stab_coef: float = 0.0,
+) -> jax.Array:
+    """Elemental convection matrices Ae(u0) (NENv_i, NENv_j, NE).
+
+    Built ONCE per time step (u0 is fixed across sub-iterations, ref
+    ``calculateMatrixA`` uses Un, :3520-3685) and added to the elemental
+    K so (K + A(u0)) u* is ONE :func:`elem_matvec_apply` per
+    sub-iteration — one gather + one scatter instead of two of each.
+    """
+    u0_e = _gather_components(u0, ltog)
+    udotg = _udotgrad(u0_e, Sv, gDSv)                    # (NENv_j, NGP, NE)
+    if stab_coef:
+        div0 = jnp.einsum("djke,dje->ke", gDSv, u0_e)
+        udotg = udotg + stab_coef * div0[None] * Sv.T[:, :, None]
+    return jnp.einsum("ki,ke,jke->ije", Sv, gq_factor, udotg)
+
+
+def elem_grad_apply(
+    ge: jax.Array, p: jax.Array, ltog: jax.Array, ltog_p: jax.Array, nn: int
+) -> jax.Array:
+    """(3, NN) = [G1 p, G2 p, G3 p] through the elemental gradient blocks.
+
+    ``ge (3, NENv, NENp, NE)``, ``p (NNp,)``.  The assembled ELL form
+    gathers L x NN elements per apply; this gathers NENp x NE (30x
+    less) and scatters NENv x NE — the same random-gather economics as
+    :func:`elem_matvec_apply`.
+    """
+    p_e = p[ltog_p]                                      # (NENp, NE)
+    y_e = jnp.einsum("dije,je->die", ge, p_e)
+    return scatter_nodes(y_e, ltog, nn)
+
+
+def elem_div_apply(
+    ge: jax.Array, u: jax.Array, ltog: jax.Array, ltog_p: jax.Array, nnp: int
+) -> jax.Array:
+    """(NNp,) = G1^T u_x + G2^T u_y + G3^T u_z, elemental form."""
+    u_e = _gather_components(u, ltog)                    # (3, NENv, NE)
+    y_e = jnp.einsum("dije,die->je", ge, u_e)
+    return scatter_nodes(y_e, ltog_p, nnp)
+
+
 def convection_apply(
     u0: jax.Array,
     uprev: jax.Array,

@@ -45,7 +45,6 @@ from cfd_with_cuda_tpu.mesh.topology import (
     find_monitor_node,
     promote_hex_mesh,
 )
-from cfd_with_cuda_tpu.ops.gradient import div_apply, grad_apply
 from cfd_with_cuda_tpu.ops.krylov import cg
 from cfd_with_cuda_tpu.ops.spmv import convection_apply, ell_spmv
 from cfd_with_cuda_tpu.solvers.base import ChunkedTimeLoop, StepStats
@@ -93,7 +92,8 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         "perm_p", "fine_dims", "coarse_dims", "elem_dims", "chan_order",
         "local_off", "k_offsets", "z_radius", "g_radius", "gt_radius",
         "s_pad", "pin_grid", "monitor_node", "monitor_node_deck",
-        "monitor_node_p", "bc_of_node", "use_mg", "mg_dims", "mg_radii",
+        "monitor_node_p", "bc_of_node", "f64_dia", "g_dia_off",
+        "gt_dia_off", "use_mg", "mg_dims", "mg_radii",
         "mg_omegas", "_pallas_layout", "conv_oij",
         "layout", "sp_c", "k_pairs", "g_pairs", "mon_cls", "mon_q",
         "conv_i_order", "conv_groups", "conv_pairs2",
@@ -201,37 +201,39 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
 
         dev = lambda x: np.asarray(x, dtype=dtype)
         if not self.structured:
-            k_ell = ell_from_csr(ops.pattern_m, values=ops.K)
-            g_ells = [ell_from_csr(ops.pattern_g, values=ops.G[d]) for d in range(3)]
-            gt_csrs = [ops.G_csr(d).T.tocsr() for d in range(3)]
-            for m in gt_csrs:
-                m.sort_indices()
-            # all three G^T blocks share the same pattern
-            gt_ells = [
-                ell_from_csr(
-                    m.indptr.astype(np.int64), m.indices.astype(np.int64),
-                    m.data, n_cols=mesh.nn,
-                )
-                for m in gt_csrs
-            ]
             z_ell = ell_from_csr(
                 Z.indptr.astype(np.int64), Z.indices.astype(np.int64),
                 Z.data, n_cols=self.nnp,
             )
             # Device layouts: lane-major (big node/element axis minor-most)
             # — see ops/spmv.py.  Fields are (3, NN); element tables
-            # NE-minor; ELL operators slot-major (L, N).
+            # NE-minor.  K, A(un), G and G^T all apply matrix-free
+            # through ELEMENTAL matrices (ops.spmv.elem_*): the assembled
+            # slot-major ELL forms gather L x N elements per apply and
+            # XLA:TPU random gathers run at ~1e8 elem/s — the K ELL SpMV
+            # alone measured ~0.7 s/apply at NE27000 (9.4 s/step; chunk
+            # dispatches then exceeded the tunnel worker's watchdog —
+            # the round-3 "TPU worker crashed" bench failures).  Only
+            # the pressure operator Z (27 cols on the coarse 8-node
+            # pattern; ~22 ms/step measured for the whole CG) stays ELL:
+            # it has no elemental form on the product route.
+            from cfd_with_cuda_tpu.fem.assembly import (
+                elemental_gradient,
+                elemental_stiffness,
+            )
+
+            ke = elemental_stiffness(tab, deck.viscosity)
+            ge = elemental_gradient(tab, deck.density)
             self.d = {
                 "ltog": np.asarray(mesh.ltog_node.T, dtype=np.int32),
+                "ltog_p": np.asarray(
+                    mesh.ltog_node[:, : deck.nenp].T, dtype=np.int32
+                ),
                 "Sv": dev(tab.Sv),
                 "gDSv": dev(np.transpose(tab.gDSv, (3, 2, 1, 0))),
                 "gq": dev(tab.gq_factor.T),
-                "K_vals": dev(k_ell.vals),
-                "K_cols": np.asarray(k_ell.cols),
-                "G_vals": dev(np.stack([g.vals for g in g_ells])),
-                "G_cols": np.asarray(g_ells[0].cols),
-                "GT_vals": dev(np.stack([g.vals for g in gt_ells])),
-                "GT_cols": np.asarray(gt_ells[0].cols),
+                "Ke": dev(np.transpose(ke, (1, 2, 0))),
+                "Ge": dev(np.transpose(ge, (0, 2, 3, 1))),
                 "Z_vals": dev(z_ell.vals),
                 "Z_cols": np.asarray(z_ell.cols),
                 "Z_diag": dev(Z.diagonal()),
@@ -260,8 +262,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             if e:
                 dd = self.d
                 padn = lambda a: np.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, e)])
-                for k in ("K_vals", "K_cols", "G_vals", "G_cols",
-                          "bc_mask", "bc_vel"):
+                for k in ("bc_mask", "bc_vel"):
                     dd[k] = padn(dd[k])
                 for k in ("md_inv", "md_orig_inv"):
                     dd[k] = np.pad(dd[k], (0, e), constant_values=1.0)
@@ -340,14 +341,38 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             q2[..., elem_perm] = gq_t
             gDSv_t, gq_t = g2[:, self.chan_order], q2
             Sv_t = Sv_t[:, self.chan_order]
-        self.d = {
+        # f64 (x64-emulated on TPU) must NOT use the fine-grid patch
+        # extraction for G/G^T: conv_general_dilated_patches of the
+        # (3, S) field with a 125-wide window materialises ~2.5 GB
+        # buffers that the x64 pair-splitting triples — measured 22.05 GB
+        # HBM (OOM) at NE27000.  Roll-form DIA applies stream only the
+        # PRESENT diagonals with no patch tensor at all.
+        self.f64_dia = bool(np.dtype(dtype) == np.float64)
+        if self.f64_dia:
+            gw = {
+                f"G_dia{i}": dev(g_dias[i].vals) for i in range(3)
+            } | {
+                f"GT_dia{i}": dev(gt_dias[i].vals) for i in range(3)
+            }
+            self.g_dia_off = tuple(g.flat_offsets for g in g_dias)
+            self.gt_dia_off = tuple(g.flat_offsets for g in gt_dias)
+        else:
+            gw = {
+                "G_win": dev(np.stack(
+                    [g.window_vals(self.g_radius, dtype) for g in g_dias]
+                )),
+                "GT_win": dev(np.stack(
+                    [g.window_vals(self.gt_radius, dtype) for g in gt_dias]
+                )),
+            }
+            self.g_dia_off = None
+            self.gt_dia_off = None
+        self.d = gw | {
             "ltog": np.asarray(perm[mesh.ltog_node].T, dtype=np.int32),
             "Sv": dev(Sv_t),
             "gDSv": dev(gDSv_t),
             "gq": dev(gq_t),
             "K_vals": dev(k_dia.vals),
-            "G_win": dev(np.stack([g.window_vals(self.g_radius, dtype) for g in g_dias])),
-            "GT_win": dev(np.stack([g.window_vals(self.gt_radius, dtype) for g in gt_dias])),
             "Z_win": dev(z_dia.window_vals(dtype=dtype)),
             "Z_diag": dev(z_diag),
             "md_inv": dev(permute_vec(md_inv)),
@@ -594,20 +619,62 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             z_mul = lambda p: patches_spmv(
                 d["Z_win"][:, :self.nnp], p, self.coarse_dims, self.z_radius
             )
-            grad = lambda p: pad_u(patches_grad_apply(
-                d["G_win"][..., :Sr], p, self.coarse_dims, self.fine_dims,
-                self.g_radius,
-            ))
-            div = lambda u: patches_div_apply(
-                d["GT_win"][..., :Sr], u[:, :Sr], self.coarse_dims,
-                self.fine_dims, self.gt_radius,
-            )
+            if getattr(self, "f64_dia", False):
+                # f64: roll-form G/G^T (fine-grid patch extraction OOMs
+                # under x64 emulation — see _try_structured)
+                from cfd_with_cuda_tpu.ops.stencil import coarse_to_fine
+
+                def grad(p):
+                    pf = jnp.pad(
+                        coarse_to_fine(p, self.coarse_dims, self.fine_dims),
+                        (0, self.s_pad - Sr),
+                    )
+                    return jnp.stack([
+                        dia_spmv(d[f"G_dia{i}"], pf, self.g_dia_off[i])
+                        for i in range(3)
+                    ])
+
+                def div(u):
+                    acc = sum(
+                        dia_spmv(d[f"GT_dia{i}"], u[i], self.gt_dia_off[i])
+                        for i in range(3)
+                    )
+                    from cfd_with_cuda_tpu.ops.stencil import fine_to_coarse
+
+                    return fine_to_coarse(
+                        acc[:Sr], self.coarse_dims, self.fine_dims
+                    )
+            else:
+                grad = lambda p: pad_u(patches_grad_apply(
+                    d["G_win"][..., :Sr], p, self.coarse_dims, self.fine_dims,
+                    self.g_radius,
+                ))
+                div = lambda u: patches_div_apply(
+                    d["GT_win"][..., :Sr], u[:, :Sr], self.coarse_dims,
+                    self.fine_dims, self.gt_radius,
+                )
             pin = self.pin_grid
         else:
-            k_mul = lambda u: ell_spmv(d["K_vals"], d["K_cols"], u)
+            from cfd_with_cuda_tpu.ops.spmv import (
+                elem_div_apply,
+                elem_grad_apply,
+                elem_matvec_apply,
+            )
+
+            pad_nn = lambda y: jnp.pad(y, ((0, 0), (0, self.s_pad - nn)))
+
+            def k_mul(u):
+                return pad_nn(
+                    elem_matvec_apply(d["Ke"], u[:, :nn], d["ltog"], nn)
+                )
+
             z_mul = lambda p: ell_spmv(d["Z_vals"], d["Z_cols"], p)
-            grad = lambda p: grad_apply(d["G_vals"], d["G_cols"], p)
-            div = lambda u: div_apply(d["GT_vals"], d["GT_cols"], u)
+            grad = lambda p: pad_nn(
+                elem_grad_apply(d["Ge"], p, d["ltog"], d["ltog_p"], nn)
+            )
+            div = lambda u: elem_div_apply(
+                d["Ge"], u[:, :nn], d["ltog"], d["ltog_p"], self.nnp
+            )
             pin = self.pin
 
         if self.use_mg:
@@ -839,6 +906,23 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                     return jnp.pad(out, ((0, 0), (0, sp - Sr3)))
 
                 ka_mul = lambda u: k_mul(u) + conv_apply(u)
+        elif not self.structured and not abl:
+            # unstructured fusion: Ae(un) built elementally once per
+            # step, then (K + A(un)) u* is ONE elemental gather ->
+            # matvec -> scatter per sub-iteration (ops.spmv docstring:
+            # the assembled ELL route's gathers were the round-3
+            # "TPU worker crashed" bench failures)
+            from cfd_with_cuda_tpu.ops.spmv import convection_elemental
+
+            ae = convection_elemental(
+                un[:, :nn], d["ltog"], d["Sv"], d["gDSv"], d["gq"],
+                stab_coef=cfg.conv_stab,
+            )
+            ka = d["Ke"] + ae
+            ka_mul = lambda u: pad_nn(
+                elem_matvec_apply(ka, u[:, :nn], d["ltog"], nn)
+            )
+            fused_conv = True
 
         def pressure_solve(r2, x0=None):
             if "cg" in abl:

@@ -70,6 +70,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         "perm_p", "fine_dims", "coarse_dims", "elem_dims", "chan_order",
         "local_off", "a_offsets", "a_zero_off", "z_radius", "g_radius",
         "gt_radius", "conv_oij", "_ell_shape", "_nnz",
+        "f64_dia", "g_dia_off", "gt_dia_off",
         "s_pad", "pin_grid", "monitor_node", "monitor_node_p", "use_mg",
         "mg_dims", "mg_radii", "mg_omegas", "_pallas_layout", "ppe_project",
         "layout", "sp_c", "a_pairs", "m_pairs", "g_pairs",
@@ -427,7 +428,30 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         diag_add[perm[is_bc]] = 1.0
         diag_add[S:] = 1.0     # padding rows -> identity (keeps Jacobi finite)
 
-        self.d = {
+        # f64 (x64-emulated on TPU): roll-form DIA G/G^T instead of the
+        # fine-grid patch extraction, which OOMs at NE27000 (see
+        # explicit_bch._try_structured for the numbers)
+        self.f64_dia = bool(np.dtype(dtype) == np.float64)
+        if self.f64_dia:
+            gw = {
+                f"G_dia{i}": dev(g_dias[i].vals) for i in range(3)
+            } | {
+                f"GT_dia{i}": dev(gt_dias[i].vals) for i in range(3)
+            }
+            self.g_dia_off = tuple(g.flat_offsets for g in g_dias)
+            self.gt_dia_off = tuple(g.flat_offsets for g in gt_dias)
+        else:
+            gw = {
+                "G_win": dev(np.stack(
+                    [g.window_vals(self.g_radius, dtype) for g in g_dias]
+                )),
+                "GT_win": dev(np.stack(
+                    [g.window_vals(self.gt_radius, dtype) for g in gt_dias]
+                )),
+            }
+            self.g_dia_off = None
+            self.gt_dia_off = None
+        self.d = gw | {
             "Sv": dev(Sv_t),
             "gDSv": dev(gDSv_t),
             "gq": dev(gq_t),
@@ -435,8 +459,6 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             "M_vals": dev(m_dia.vals),
             "row_mask_grid": dev(permute_vec(bc_mask)),
             "diag_add_grid": dev(diag_add),
-            "G_win": dev(np.stack([g.window_vals(self.g_radius, dtype) for g in g_dias])),
-            "GT_win": dev(np.stack([g.window_vals(self.gt_radius, dtype) for g in gt_dias])),
             "Z_win": dev(z_dia.window_vals(dtype=dtype)),
             "Z_diag": dev(permute_vec_p(np.asarray(Z.diagonal()))),
             "p_mask": dev(permute_vec_p(p_mask)),
@@ -918,14 +940,41 @@ class ImplicitGQSolver(ChunkedTimeLoop):
         else:
             a_mul = lambda x: dia_spmv(a_vals, x, self.a_offsets)
             m_mul = lambda x: dia_spmv(d["M_vals"], x, self.a_offsets)
-            grad = lambda p: pad_u(patches_grad_apply(
-                d["G_win"][..., :S], p, self.coarse_dims, self.fine_dims,
-                self.g_radius,
-            ))
-            div = lambda u: patches_div_apply(
-                d["GT_win"][..., :S], u[:, :S], self.coarse_dims,
-                self.fine_dims, self.gt_radius,
-            )
+            if getattr(self, "f64_dia", False):
+                # f64: roll-form G/G^T (fine-grid patch extraction OOMs
+                # under x64 emulation — see explicit_bch)
+                from cfd_with_cuda_tpu.ops.stencil import (
+                    coarse_to_fine,
+                    fine_to_coarse,
+                )
+
+                def grad(p):
+                    pf = jnp.pad(
+                        coarse_to_fine(p, self.coarse_dims, self.fine_dims),
+                        (0, self.s_pad - S),
+                    )
+                    return jnp.stack([
+                        dia_spmv(d[f"G_dia{i}"], pf, self.g_dia_off[i])
+                        for i in range(3)
+                    ])
+
+                def div(u):
+                    acc = sum(
+                        dia_spmv(d[f"GT_dia{i}"], u[i], self.gt_dia_off[i])
+                        for i in range(3)
+                    )
+                    return fine_to_coarse(
+                        acc[:S], self.coarse_dims, self.fine_dims
+                    )
+            else:
+                grad = lambda p: pad_u(patches_grad_apply(
+                    d["G_win"][..., :S], p, self.coarse_dims, self.fine_dims,
+                    self.g_radius,
+                ))
+                div = lambda u: patches_div_apply(
+                    d["GT_win"][..., :S], u[:, :S], self.coarse_dims,
+                    self.fine_dims, self.gt_radius,
+                )
 
         # RHS = (M/dt) u^k - G (2 p^k - p^{k-1}); BC rows = BC values
         pdiff2 = 2.0 * pk_prev - pk_prevprev

@@ -34,7 +34,7 @@ __all__ = [
 ]
 
 # bump when solver snapshot layouts change — stale entries just miss
-SCHEMA = 15
+SCHEMA = 16
 
 
 def default_cache_dir() -> str | None:

@@ -110,10 +110,16 @@ def run_row(name):
         n = 200
     elif name == "ell":
         deck, cls = cavity(), ExplicitBCHSolver
+        # chunk=10: the unstructured fallback runs ~100x slower than the
+        # parity path (random-gather bound); a 50-step dispatch through
+        # the tunnel risks the worker watchdog that killed the round-3
+        # rows (ablate_ell: old ELL step was 9.4 s -> 470 s/dispatch)
+        chunk = 10
+        kw["steps_per_chunk"] = chunk
         cfg = SolverConfig(
             dtype_policy=DTypePolicy.F32, structured="never", **kw
         )
-        n = 50
+        n = 30
     elif name == "duct":
         deck = channel_deck(
             48, 32, 32, lengths=(6.0, 1.0, 1.0), cluster=1.5,
@@ -154,6 +160,8 @@ def run_row(name):
             viscosity=0.01, dt=0.002,
         )
         cls = ExplicitBCHSolver
+        chunk = 10                  # unstructured: see the ell row
+        kw["steps_per_chunk"] = chunk
         cfg = SolverConfig(dtype_policy=DTypePolicy.F32, **kw)
         n = 20
     elif name == "bendduct":

@@ -32,6 +32,23 @@ def test_parity_with_oracle(small_setup):
     assert [int(h["iters"]) for h in hist] == [it for _, it in oh]
 
 
+def test_ell_path_parity_with_oracle(small_setup):
+    """The unstructured fallback (structured='never': elemental
+    matrix-free K + ELL Z/G/GT) reproduces the oracle too — this is the
+    path imported .neu/.unv meshes take."""
+    deck, _, oracle = small_setup
+    solver = ExplicitBCHSolver(
+        deck, SolverConfig(steps_per_chunk=5, structured="never")
+    )
+    assert not solver.structured and "Ke" in solver.d
+    state, hist = solver.run(n_steps=10)
+    u_j, p_j = solver.fields(state)
+    u_o, p_o, oh = oracle.run(10)
+    np.testing.assert_allclose(u_j, u_o, atol=1e-12)
+    np.testing.assert_allclose(p_j, p_o, atol=1e-11)
+    assert [int(h["iters"]) for h in hist] == [it for _, it in oh]
+
+
 def test_conv_stab_parity_with_oracle():
     """conv_stab (Temam (div u0) Sv_i Sv_j stabilization,
     SolverConfig.conv_stab) matches the independent oracle with the same

@@ -215,6 +215,34 @@ def test_parity_apply_streamed_field_matches_resident(solver):
     np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
 
 
+def test_parity_apply_streamed_two_table_matches_resident():
+    """wc2 (convection planes) + HBM-streamed field: the second weight
+    table streams per block exactly like the first, so the NE85184+
+    sizes run the planes route too — bit-equal to the resident kernel."""
+    deck = cavity_deck(4, viscosity=0.01, dt=0.001)
+    s = ExplicitBCHSolver(
+        deck,
+        SolverConfig(
+            dtype_policy=DTypePolicy.F32, pressure_backend="pallas",
+            setup_cache="off", structured_layout="parity",
+        ),
+    )
+    assert s.conv_pairs2 is not None
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.standard_normal((3, 8, s.sp_c)), jnp.float32)
+    ne = int(np.prod(s.elem_dims))
+    ae = rng.standard_normal((27, 27, ne)).astype(np.float32)
+    ae_e = ps.embed_elem_table(ae, s.elem_dims, s.coarse_dims, s.sp_c)
+    ae_p = jnp.asarray(ae_e[np.asarray(s.conv_i_order)])
+    conv_wc = ps.conv_planes_from_ae(ae_p, groups=s.conv_groups)
+    kw = dict(
+        pairs=s.k_pairs, co=3, wc2=conv_wc, pairs2=s.conv_pairs2, blk=512
+    )
+    y0 = ps.parity_apply(s.d["Kp"], u, stream_x=False, **kw)
+    y1 = ps.parity_apply(s.d["Kp"], u, stream_x=True, **kw)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+
 def test_parity_div_matches_compact(solver):
     from cfd_with_cuda_tpu.ops.pallas_stencil import pallas_div_compact
 
