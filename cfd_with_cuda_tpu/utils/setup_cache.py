@@ -34,7 +34,8 @@ __all__ = [
 ]
 
 # bump when solver snapshot layouts change — stale entries just miss
-SCHEMA = 16
+# (17: 16 briefly shipped mid-development without the f64 DIA keys)
+SCHEMA = 17
 
 
 def default_cache_dir() -> str | None:

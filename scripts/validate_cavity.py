@@ -12,6 +12,7 @@ Usage:
   python scripts/validate_cavity.py --re1000   # Re=1000, generated 40^3 mesh
   python scripts/validate_cavity.py --implicit # implicit GQ integrator
   python scripts/validate_cavity.py --refparity  # keep the deck's maxIter=4/tol=1e-3
+  python scripts/validate_cavity.py --stab 0.5 --fresh  # Temam-stabilized convection
 
 Round-3 outcome (full writeup: docs/VALIDATION.md): the CANONICAL
 passing validation is --implicit (converged NE27000 fixed point,
@@ -85,12 +86,22 @@ def main():
         deck.max_iter = 10
         deck.tolerance = 1e-6
         tag = "explicit"
+    stab = 0.0
+    if "--stab" in sys.argv:
+        # Temam-stabilized convection (SolverConfig.conv_stab): the
+        # capability extension documented in docs/VALIDATION.md — the
+        # divergence correction kills the rectified bias of the
+        # unstabilized Galerkin form, giving the EXPLICIT integrator a
+        # converging configuration on the canonical deck
+        stab = float(sys.argv[sys.argv.index("--stab") + 1])
+        tag += f"_stab"
     cfg = SolverConfig(
         dtype_policy=DTypePolicy.F32,
         pressure_cg_tol=1e-6,
         steps_per_chunk=100,
         setup_cache="auto",
         pressure_warm_start=solver_cls is ExplicitBCHSolver,
+        conv_stab=stab,
     )
     t0 = time.time()
     solver = solver_cls(deck, cfg)
