@@ -73,6 +73,48 @@ def _gather_components(x, idx):
     return jnp.stack([x[d][idx] for d in range(x.shape[0])])
 
 
+def build_reverse_incidence(ltog: "np.ndarray", nn: int) -> "np.ndarray":
+    """Host, setup-time: reverse-incidence gather table for the elemental
+    scatter.  ``rev (deg, NN)`` int32 indexes into the FLATTENED
+    elemental value array (``NEN*NE``, reshape order of ``ltog``); node
+    ``n``'s contributions sit at ``rev[:, n]`` in ascending flat-position
+    order, padded with the sentinel ``NEN*NE`` (one appended zero).
+
+    ``deg`` is the max node incidence (8 on conforming hex meshes — a
+    corner node of at most 8 elements).  This turns the XLA scatter
+    (segment-sum lowers to a serialized scatter on TPU — the measured
+    4.2 s/step of the first ell-row bench) into ``deg`` plain gathers of
+    NN each, summed in the SAME ascending-position order, so results are
+    bit-identical to :func:`scatter_nodes`.
+    """
+    import numpy as np
+
+    ids = np.asarray(ltog).reshape(-1)
+    n_flat = ids.size
+    order = np.argsort(ids, kind="stable")       # ascending node, then pos
+    counts = np.bincount(ids, minlength=nn)
+    deg = int(counts.max())
+    rev = np.full((deg, nn), n_flat, dtype=np.int32)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    k = np.arange(n_flat) - starts[ids[order]]   # rank within its node
+    rev[k, ids[order]] = order.astype(np.int32)
+    return rev
+
+
+def scatter_nodes_rev(elem_vals: jax.Array, rev: jax.Array) -> jax.Array:
+    """Scatter-add elemental values to nodes via the precomputed
+    reverse-incidence table (``build_reverse_incidence``) — ``deg``
+    gathers instead of one XLA scatter.  ``elem_vals (..., NEN, NE)``
+    (same NEN/NE layout as the ``ltog`` the table was built from) ->
+    ``(..., NN)``."""
+    flat = elem_vals.reshape(elem_vals.shape[:-2] + (-1,))
+    flatp = jnp.pad(flat, [(0, 0)] * (flat.ndim - 1) + [(0, 1)])
+    acc = flatp[..., rev[0]]
+    for k in range(1, rev.shape[0]):
+        acc = acc + flatp[..., rev[k]]
+    return acc
+
+
 def _udotgrad(u0_e, Sv, gDSv):
     """(u0 . grad)Sv_j at each GQ point: (NENv_j, NGP, NE).
 
@@ -83,7 +125,7 @@ def _udotgrad(u0_e, Sv, gDSv):
 
 
 def elem_matvec_apply(
-    ke: jax.Array, x: jax.Array, ltog: jax.Array, nn: int
+    ke: jax.Array, x: jax.Array, ltog: jax.Array, rev: jax.Array
 ) -> jax.Array:
     """y = K @ x matrix-free through the ELEMENTAL matrices: gather ->
     batched per-element matvec -> deterministic scatter.
@@ -102,7 +144,7 @@ def elem_matvec_apply(
     """
     x_e = _gather_components(x, ltog)                     # (C, NEN, NE)
     y_e = jnp.einsum("ije,dje->die", ke, x_e)
-    return scatter_nodes(y_e, ltog, nn)
+    return scatter_nodes_rev(y_e, rev)
 
 
 def convection_elemental(
@@ -129,7 +171,7 @@ def convection_elemental(
 
 
 def elem_grad_apply(
-    ge: jax.Array, p: jax.Array, ltog: jax.Array, ltog_p: jax.Array, nn: int
+    ge: jax.Array, p: jax.Array, ltog_p: jax.Array, rev: jax.Array
 ) -> jax.Array:
     """(3, NN) = [G1 p, G2 p, G3 p] through the elemental gradient blocks.
 
@@ -140,16 +182,16 @@ def elem_grad_apply(
     """
     p_e = p[ltog_p]                                      # (NENp, NE)
     y_e = jnp.einsum("dije,je->die", ge, p_e)
-    return scatter_nodes(y_e, ltog, nn)
+    return scatter_nodes_rev(y_e, rev)
 
 
 def elem_div_apply(
-    ge: jax.Array, u: jax.Array, ltog: jax.Array, ltog_p: jax.Array, nnp: int
+    ge: jax.Array, u: jax.Array, ltog: jax.Array, rev_p: jax.Array
 ) -> jax.Array:
     """(NNp,) = G1^T u_x + G2^T u_y + G3^T u_z, elemental form."""
     u_e = _gather_components(u, ltog)                    # (3, NENv, NE)
     y_e = jnp.einsum("dije,die->je", ge, u_e)
-    return scatter_nodes(y_e, ltog_p, nnp)
+    return scatter_nodes_rev(y_e, rev_p)
 
 
 def convection_apply(

@@ -224,11 +224,20 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
 
             ke = elemental_stiffness(tab, deck.viscosity)
             ge = elemental_gradient(tab, deck.density)
+            from cfd_with_cuda_tpu.ops.spmv import build_reverse_incidence
+
+            ltog_t = np.asarray(mesh.ltog_node.T, dtype=np.int32)
+            ltog_p_t = np.asarray(
+                mesh.ltog_node[:, : deck.nenp].T, dtype=np.int32
+            )
             self.d = {
-                "ltog": np.asarray(mesh.ltog_node.T, dtype=np.int32),
-                "ltog_p": np.asarray(
-                    mesh.ltog_node[:, : deck.nenp].T, dtype=np.int32
-                ),
+                "ltog": ltog_t,
+                "ltog_p": ltog_p_t,
+                # reverse-incidence scatter tables (ops.spmv): the
+                # elemental scatter as deg gathers, not an XLA scatter
+                # (segment-sum measured 4.2 s/step on TPU at NE27000)
+                "rev": build_reverse_incidence(ltog_t, mesh.nn),
+                "rev_p": build_reverse_incidence(ltog_p_t, self.nnp),
                 "Sv": dev(tab.Sv),
                 "gDSv": dev(np.transpose(tab.gDSv, (3, 2, 1, 0))),
                 "gq": dev(tab.gq_factor.T),
@@ -665,15 +674,15 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
 
             def k_mul(u):
                 return pad_nn(
-                    elem_matvec_apply(d["Ke"], u[:, :nn], d["ltog"], nn)
+                    elem_matvec_apply(d["Ke"], u[:, :nn], d["ltog"], d["rev"])
                 )
 
             z_mul = lambda p: ell_spmv(d["Z_vals"], d["Z_cols"], p)
             grad = lambda p: pad_nn(
-                elem_grad_apply(d["Ge"], p, d["ltog"], d["ltog_p"], nn)
+                elem_grad_apply(d["Ge"], p, d["ltog_p"], d["rev"])
             )
             div = lambda u: elem_div_apply(
-                d["Ge"], u[:, :nn], d["ltog"], d["ltog_p"], self.nnp
+                d["Ge"], u[:, :nn], d["ltog"], d["rev_p"]
             )
             pin = self.pin
 
@@ -920,7 +929,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             )
             ka = d["Ke"] + ae
             ka_mul = lambda u: pad_nn(
-                elem_matvec_apply(ka, u[:, :nn], d["ltog"], nn)
+                elem_matvec_apply(ka, u[:, :nn], d["ltog"], d["rev"])
             )
             fused_conv = True
 

@@ -120,6 +120,35 @@ def test_ell_spmv_matches_scipy(small_mesh):
     np.testing.assert_allclose(np.asarray(Y), (K @ X.T).T, atol=1e-12)
 
 
+def test_reverse_incidence_scatter_bit_matches_segment_sum():
+    """scatter_nodes_rev (deg gathers, the unstructured path's scatter)
+    is BIT-identical to the XLA segment-sum scatter and to numpy
+    np.add.at — same ascending-flat-position summation order — even on
+    adversarial incidence (random ltog, deg > 8)."""
+    import jax.numpy as jnp
+
+    from cfd_with_cuda_tpu.ops.spmv import (
+        build_reverse_incidence,
+        scatter_nodes,
+        scatter_nodes_rev,
+    )
+
+    rng = np.random.default_rng(3)
+    ne, nen, nn = 70, 27, 257
+    ltog = rng.integers(0, nn, size=(nen, ne))
+    vals = rng.standard_normal((3, nen, ne)).astype(np.float32)
+    rev = build_reverse_incidence(ltog, nn)
+    y_seg = np.asarray(scatter_nodes(jnp.asarray(vals), jnp.asarray(ltog), nn))
+    y_rev = np.asarray(scatter_nodes_rev(jnp.asarray(vals), jnp.asarray(rev)))
+    np.testing.assert_array_equal(y_rev, y_seg)
+    y_np = np.zeros((nn, 3), np.float32)
+    np.add.at(y_np, ltog.reshape(-1), vals.reshape(3, -1).T)
+    np.testing.assert_array_equal(y_rev, y_np.T)
+    # single-component path
+    y1 = scatter_nodes_rev(jnp.asarray(vals[0]), jnp.asarray(rev))
+    np.testing.assert_array_equal(np.asarray(y1), y_seg[0])
+
+
 def test_convection_matrix_free_matches_oracle(small_mesh):
     import jax.numpy as jnp
 
