@@ -100,8 +100,13 @@ def run_row(name):
         n = 200
     elif name == "explicit64":
         deck, cls = cavity(), ExplicitBCHSolver
+        # chunk=5: x64-emulated steps are ~20x f32 — a 50-step dispatch
+        # through the tunnel risks the worker watchdog (the crash mode
+        # the ell row hit in round 3)
+        chunk = 5
+        kw["steps_per_chunk"] = chunk
         cfg = SolverConfig(dtype_policy=DTypePolicy.F64, **kw)
-        n = 50
+        n = 20
     elif name == "mixed":
         deck, cls = cavity(), ExplicitBCHSolver
         cfg = SolverConfig(
