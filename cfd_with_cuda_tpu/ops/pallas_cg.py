@@ -276,6 +276,99 @@ def _cg_iter_kernel(
     rno_ref[0, 0] = jnp.sqrt(dot(r, r))
 
 
+def _cg_solve_kernel(
+    win_ref, b_ref, dinv_ref, x0_ref,
+    xo_ref, ko_ref, rno_ref,
+    r_ref, pext_ref, wbuf, sem,
+    *, offs: tuple[int, ...], halo: int, s_pad: int, nb: int, warm: bool,
+    comp: bool = False, sym: bool = False, maxiter: int = 0,
+    tol: float = 0.0,
+):
+    """The ENTIRE CG solve (init + iterations + convergence) as ONE
+    ``pallas_call``.
+
+    The per-iteration variant (:func:`_cg_iter_kernel` under an XLA
+    ``lax.while_loop``) measured ~100 us/iteration in-context at NE27000
+    against a ~19 us weight-stream traffic bound (docs/PERF.md round 4)
+    — the remainder is per-call dispatch plus the while-carry
+    read/write of the four vectors each trip.  Here the iterate vectors
+    never leave VMEM (``r``/``p_ext`` scratch, ``x`` accumulated in its
+    output ref), the ``lax.while_loop`` lives *inside* the kernel with a
+    scalar-only carry, and convergence is checked every iteration (no
+    unroll quantization), so per-iteration cost is the weight stream
+    plus in-register vector math.
+    """
+    w3 = len(offs)
+    dot = _comp_dot if comp else _plain_dot
+
+    def dma(slot, blk):
+        i32 = lambda v: jnp.asarray(v, jnp.int32)
+        return pltpu.make_async_copy(
+            win_ref.at[i32(blk)], wbuf.at[i32(slot)], sem.at[i32(slot)]
+        )
+
+    def apply_window():
+        """A @ (the vector currently in pext_ref), streaming win."""
+        dma(0, 0).start()
+        ap = jnp.zeros((1, s_pad), b_ref.dtype)
+        for blk in range(nb):
+            if blk + 1 < nb:
+                dma((blk + 1) % 2, blk + 1).start()
+            dma(blk % 2, blk).wait()
+            for j in range(KP):
+                idx = blk * KP + j
+                if idx >= w3:
+                    break
+                ap = _acc_slot(
+                    ap, wbuf[blk % 2, j, :][None, :], pext_ref,
+                    offs[idx], halo, s_pad, sym,
+                )
+        return ap
+
+    b = b_ref[:]
+    if warm:
+        pext_ref[:] = jnp.zeros_like(pext_ref)
+        pext_ref[:, pl.ds(halo, s_pad)] = x0_ref[:]
+        r0 = b - apply_window()
+        xo_ref[:] = x0_ref[:]
+    else:
+        r0 = b
+        xo_ref[:] = jnp.zeros_like(xo_ref)
+    z0 = r0 * dinv_ref[:]
+    r_ref[:] = r0
+    pext_ref[:] = jnp.zeros_like(pext_ref)
+    pext_ref[:, pl.ds(halo, s_pad)] = z0
+    rz0 = dot(r0, z0)
+    rn0 = jnp.sqrt(dot(r0, r0))
+    # tolerance relative to ||b|| (ops.krylov.cg's bound), not the
+    # warm-started residual
+    bound = jnp.maximum(tol * jnp.sqrt(dot(b, b)), 0.0)
+
+    def cond(c):
+        k, rz, rn = c
+        return (k < maxiter) & (rn > bound)
+
+    def body(c):
+        k, rz, rn = c
+        ap = apply_window()
+        p = pext_ref[:, pl.ds(halo, s_pad)]
+        alpha = _safe_div(rz, dot(p, ap))
+        xo_ref[:] = xo_ref[:] + alpha * p
+        r = r_ref[:] - alpha * ap
+        r_ref[:] = r
+        z = r * dinv_ref[:]
+        rz_new = dot(r, z)
+        beta = _safe_div(rz_new, rz)
+        pext_ref[:, pl.ds(halo, s_pad)] = z + beta * p
+        return k + 1, rz_new, jnp.sqrt(dot(r, r))
+
+    k, rz, rn = lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), rz0, rn0)
+    )
+    ko_ref[0, 0] = k
+    rno_ref[0, 0] = rn
+
+
 def _cg_init_kernel(
     win_ref, b_ref, dinv_ref, x0_ref,
     xo_ref, ro_ref, pexto_ref, rzo_ref, rno_ref, bno_ref,
