@@ -201,40 +201,28 @@ def _plain_dot(a, b):
     return jnp.sum(a * b)
 
 
-def _acc_slot(ap, w, x_ref, dq, halo, s_pad, sym):
-    """Accumulate one streamed weight slot into ``ap``.
-
-    Full mode: ``ap[q] += w[q] * x[q + dq]``.  Symmetric mode (``sym``,
-    dq > 0): additionally ``ap[q + dq] += w[q] * x[q]`` — as a value op,
-    a right-shift of the product by ``dq`` lanes (static), so each
-    positive-offset weight is applied in both directions and the
-    negative half of the window never leaves HBM.
-    """
-    ap = ap + w * x_ref[:, pl.ds(halo + dq, s_pad)]
-    if sym and dq > 0:
-        prod = w * x_ref[:, pl.ds(halo, s_pad)]
-        ap = ap + jnp.concatenate(
-            [jnp.zeros((1, dq), prod.dtype), prod[:, : s_pad - dq]],
-            axis=1,
-        )
-    return ap
-
-
-def _cg_iter_kernel(
-    win_ref, x_ref, r_ref, pext_ref, dinv_ref, rz_ref,
-    xo_ref, ro_ref, pexto_ref, rzo_ref, rno_ref,
-    wbuf, sem,
-    *, offs: tuple[int, ...], halo: int, s_pad: int, nb: int,
-    comp: bool = False, sym: bool = False,
+def _apply_window(
+    win_ref, x_ref, wbuf, sem, back_ref,
+    *, offs: tuple[int, ...], halo: int, s_pad: int, nb: int, sym: bool,
+    dtype,
 ):
-    """One full CG iteration; win streamed HBM->VMEM double-buffered.
+    """``A @ x``: stream the window weights HBM->VMEM double-buffered
+    and accumulate every slot.  Shared by all three kernels (the init,
+    the per-iteration, and the fused-loop solve).
 
-    ``offs`` are the STREAMED slot offsets: the full window, or the
-    dq >= 0 half when ``sym`` (each positive offset applied in both
-    directions — see :func:`_acc_slot` / ``cg_weight_layout(sym=True)``).
+    Full mode: ``ap[q] += w[q] * x[q + dq]`` per slot, accumulated
+    in-register.  Symmetric mode (``sym``, ``offs`` = the dq >= 0 half):
+    additionally ``ap[q + dq] += w[q] * x[q]`` — accumulated by
+    read-modify-write into the ``back_ref`` VMEM scratch at the static
+    lane offset ``dq`` (NOT as a shifted value: the value form needs a
+    fresh (1, s_pad) temp per slot, and 63 unrolled concat temps blew
+    Mosaic's 16 MB scoped-vmem stack at NE27000 — docs/PERF.md round 4).
+    The wrap/tail lanes are provably zero: ``w[q] = Z[q, q+dq]`` is zero
+    whenever row ``q + dq`` does not exist (the window layout contract
+    zero-pads boundary/absent entries), so contributions past ``s_pad``
+    land in ``back_ref``'s halo tail and are never read back.
     """
     w3 = len(offs)
-    dot = _comp_dot if comp else _plain_dot
 
     def dma(slot, blk):
         # index as i32: under jax x64 a bare python int lowers to i64,
@@ -244,8 +232,10 @@ def _cg_iter_kernel(
             win_ref.at[i32(blk)], wbuf.at[i32(slot)], sem.at[i32(slot)]
         )
 
+    if sym:
+        back_ref[:] = jnp.zeros_like(back_ref)
     dma(0, 0).start()
-    ap = jnp.zeros((1, s_pad), x_ref.dtype)
+    ap = jnp.zeros((1, s_pad), dtype)
     for b in range(nb):
         if b + 1 < nb:
             dma((b + 1) % 2, b + 1).start()
@@ -254,10 +244,38 @@ def _cg_iter_kernel(
             idx = b * KP + j
             if idx >= w3:
                 break
-            ap = _acc_slot(
-                ap, wbuf[b % 2, j, :][None, :], pext_ref,
-                offs[idx], halo, s_pad, sym,
-            )
+            w = wbuf[b % 2, j, :][None, :]
+            dq = offs[idx]
+            ap = ap + w * x_ref[:, pl.ds(halo + dq, s_pad)]
+            if sym and dq > 0:
+                prod = w * x_ref[:, pl.ds(halo, s_pad)]
+                back_ref[:, pl.ds(dq, s_pad)] = (
+                    back_ref[:, pl.ds(dq, s_pad)] + prod
+                )
+    if sym:
+        ap = ap + back_ref[:, pl.ds(0, s_pad)]
+    return ap
+
+
+def _cg_iter_kernel(
+    win_ref, x_ref, r_ref, pext_ref, dinv_ref, rz_ref,
+    xo_ref, ro_ref, pexto_ref, rzo_ref, rno_ref,
+    wbuf, sem, back_ref,
+    *, offs: tuple[int, ...], halo: int, s_pad: int, nb: int,
+    comp: bool = False, sym: bool = False,
+):
+    """One full CG iteration; win streamed HBM->VMEM double-buffered.
+
+    ``offs`` are the STREAMED slot offsets: the full window, or the
+    dq >= 0 half when ``sym`` (each positive offset applied in both
+    directions — see :func:`_apply_window` / ``cg_weight_layout(sym=True)``).
+    """
+    dot = _comp_dot if comp else _plain_dot
+    ap = _apply_window(
+        win_ref, pext_ref, wbuf, sem, back_ref,
+        offs=offs, halo=halo, s_pad=s_pad, nb=nb, sym=sym,
+        dtype=x_ref.dtype,
+    )
 
     p = pext_ref[:, pl.ds(halo, s_pad)]
     rz = rz_ref[0, 0]
@@ -279,13 +297,13 @@ def _cg_iter_kernel(
 def _cg_solve_kernel(
     win_ref, b_ref, dinv_ref, x0_ref,
     xo_ref, ko_ref, rno_ref,
-    r_ref, pext_ref, wbuf, sem,
+    r_ref, pext_ref, wbuf, sem, back_ref,
     *, offs: tuple[int, ...], halo: int, s_pad: int, nb: int, warm: bool,
-    comp: bool = False, sym: bool = False, maxiter: int = 0,
-    tol: float = 0.0,
+    maxiter: int, tol: float,
+    comp: bool = False, sym: bool = False,
 ):
     """The ENTIRE CG solve (init + iterations + convergence) as ONE
-    ``pallas_call``.
+    ``pallas_call`` (``fused_cg(fuse_loop=True)``).
 
     The per-iteration variant (:func:`_cg_iter_kernel` under an XLA
     ``lax.while_loop``) measured ~100 us/iteration in-context at NE27000
@@ -296,34 +314,19 @@ def _cg_solve_kernel(
     output ref), the ``lax.while_loop`` lives *inside* the kernel with a
     scalar-only carry, and convergence is checked every iteration (no
     unroll quantization), so per-iteration cost is the weight stream
-    plus in-register vector math.
+    plus in-register vector math.  ``maxiter``/``tol`` are required
+    (bound via functools.partial like offs/halo): a forgotten binding
+    must fail loudly, not silently solve for zero iterations.
     """
-    w3 = len(offs)
     dot = _comp_dot if comp else _plain_dot
-
-    def dma(slot, blk):
-        i32 = lambda v: jnp.asarray(v, jnp.int32)
-        return pltpu.make_async_copy(
-            win_ref.at[i32(blk)], wbuf.at[i32(slot)], sem.at[i32(slot)]
-        )
 
     def apply_window():
         """A @ (the vector currently in pext_ref), streaming win."""
-        dma(0, 0).start()
-        ap = jnp.zeros((1, s_pad), b_ref.dtype)
-        for blk in range(nb):
-            if blk + 1 < nb:
-                dma((blk + 1) % 2, blk + 1).start()
-            dma(blk % 2, blk).wait()
-            for j in range(KP):
-                idx = blk * KP + j
-                if idx >= w3:
-                    break
-                ap = _acc_slot(
-                    ap, wbuf[blk % 2, j, :][None, :], pext_ref,
-                    offs[idx], halo, s_pad, sym,
-                )
-        return ap
+        return _apply_window(
+            win_ref, pext_ref, wbuf, sem, back_ref,
+            offs=offs, halo=halo, s_pad=s_pad, nb=nb, sym=sym,
+            dtype=b_ref.dtype,
+        )
 
     b = b_ref[:]
     if warm:
@@ -372,7 +375,7 @@ def _cg_solve_kernel(
 def _cg_init_kernel(
     win_ref, b_ref, dinv_ref, x0_ref,
     xo_ref, ro_ref, pexto_ref, rzo_ref, rno_ref, bno_ref,
-    x0ext_buf, wbuf, sem,
+    x0ext_buf, wbuf, sem, back_ref,
     *, offs: tuple[int, ...], halo: int, s_pad: int, nb: int, warm: bool,
     comp: bool = False, sym: bool = False,
 ):
@@ -383,32 +386,15 @@ def _cg_init_kernel(
     the init glue dominated the whole pressure solve.  Same streamed-
     weight structure as :func:`_cg_iter_kernel`; ``warm=False`` skips the
     A x0 apply (cold start, r0 = b)."""
-    w3 = len(offs)
     b = b_ref[:]
     if warm:
         x0ext_buf[:] = jnp.zeros_like(x0ext_buf)
         x0ext_buf[:, pl.ds(halo, s_pad)] = x0_ref[:]
-
-        def dma(slot, blk):
-            i32 = lambda v: jnp.asarray(v, jnp.int32)
-            return pltpu.make_async_copy(
-                win_ref.at[i32(blk)], wbuf.at[i32(slot)], sem.at[i32(slot)]
-            )
-
-        dma(0, 0).start()
-        ax = jnp.zeros((1, s_pad), b.dtype)
-        for blk in range(nb):
-            if blk + 1 < nb:
-                dma((blk + 1) % 2, blk + 1).start()
-            dma(blk % 2, blk).wait()
-            for j in range(KP):
-                idx = blk * KP + j
-                if idx >= w3:
-                    break
-                ax = _acc_slot(
-                    ax, wbuf[blk % 2, j, :][None, :], x0ext_buf,
-                    offs[idx], halo, s_pad, sym,
-                )
+        ax = _apply_window(
+            win_ref, x0ext_buf, wbuf, sem, back_ref,
+            offs=offs, halo=halo, s_pad=s_pad, nb=nb, sym=sym,
+            dtype=b.dtype,
+        )
         r0 = b - ax
         xo_ref[:] = x0_ref[:]
     else:
@@ -428,12 +414,12 @@ def _cg_init_kernel(
     jax.jit,
     static_argnames=(
         "dims", "radius", "tol", "maxiter", "unroll", "_skip_loop",
-        "dot_mode", "sym",
+        "dot_mode", "sym", "fuse_loop",
     ),
 )
 def fused_cg(
     win, b, dinv, *, dims, radius, tol, maxiter, x0=None, unroll=1,
-    _skip_loop=False, dot_mode="plain", sym=False,
+    _skip_loop=False, dot_mode="plain", sym=False, fuse_loop=False,
 ):
     """Jacobi-preconditioned CG on a windowed stencil operator.
 
@@ -450,6 +436,13 @@ def fused_cg(
       reductions of ``ops.krylov.cg(dot_dtype=f64)`` — the MIXED policy
       (``blascoCodinaHuerta.cpp:130-134`` is f64 throughout) — without
       leaving f32 vectors.
+
+    ``fuse_loop=True`` runs the ENTIRE solve (init + iteration loop +
+    convergence) as ONE ``pallas_call`` (:func:`_cg_solve_kernel`): the
+    iterate vectors never leave VMEM and the loop carry is scalar-only,
+    removing the ~100 us/iteration dispatch + while-carry cost of the
+    per-iteration variant (docs/PERF.md round 4/5).  ``unroll`` and
+    ``_skip_loop`` are per-iteration-variant knobs and are ignored.
     """
     sx, sy, _ = dims
     w = 2 * radius + 1
@@ -500,12 +493,51 @@ def fused_cg(
     dinv_p = pad1(dinv)
 
     comp = dot_mode == "compensated"
+    warm = x0 is not None
+    if warm:
+        x0_p = x0.reshape(1, -1) if x0.shape[-1] == s_pad else pad1(x0)
+    else:
+        x0_p = b_p                              # dummy operand, unread
+    vec = lambda n: pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # sym back-accumulator scratch: rows [0, s_pad) plus up-shift room
+    # for the largest positive offset (= halo); token-sized when unused
+    back_sz = _round_up(s_pad + halo, 128) if sym else 128
+
+    if fuse_loop:
+        solve_kernel = functools.partial(
+            _cg_solve_kernel, offs=offs, halo=halo, s_pad=s_pad, nb=nb,
+            warm=warm, maxiter=int(maxiter), tol=float(tol),
+            comp=comp, sym=sym,
+        )
+        solve_call = pl.pallas_call(
+            solve_kernel,
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # win stays in HBM
+                vec(s_pad), vec(s_pad), vec(s_pad),
+            ],
+            out_specs=[vec(s_pad), smem, smem],
+            out_shape=[
+                jax.ShapeDtypeStruct((1, s_pad), dtype),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+                jax.ShapeDtypeStruct((1, 1), dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((1, s_pad), dtype),      # r
+                pltpu.VMEM((1, s_ext), dtype),      # p_ext
+                pltpu.VMEM((2, KP, s_pad), dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((1, back_sz), dtype),
+            ],
+            interpret=_interpret(),
+        )
+        x, k_s, rn_s = solve_call(win_p, b_p, dinv_p, x0_p)
+        return KrylovResult(x[0, :s], k_s[0, 0], rn_s[0, 0])
+
     kernel = functools.partial(
         _cg_iter_kernel, offs=offs, halo=halo, s_pad=s_pad, nb=nb,
         comp=comp, sym=sym,
     )
-    vec = lambda n: pl.BlockSpec(memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     call = pl.pallas_call(
         kernel,
         in_specs=[
@@ -523,6 +555,7 @@ def fused_cg(
         scratch_shapes=[
             pltpu.VMEM((2, KP, s_pad), dtype),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((1, back_sz), dtype),
         ],
         interpret=_interpret(),
     )
@@ -531,11 +564,6 @@ def fused_cg(
     # x0 warm start, e.g. the previous sub-iteration's pdot), fused into
     # ONE pallas_call — the equivalent XLA op chain measured ~9.5 ms per
     # solve in-context (see _cg_init_kernel)
-    warm = x0 is not None
-    if warm:
-        x0_p = x0.reshape(1, -1) if x0.shape[-1] == s_pad else pad1(x0)
-    else:
-        x0_p = b_p                              # dummy operand, unread
     init_kernel = functools.partial(
         _cg_init_kernel, offs=offs, halo=halo, s_pad=s_pad, nb=nb, warm=warm,
         comp=comp, sym=sym,
@@ -559,6 +587,7 @@ def fused_cg(
             pltpu.VMEM((1, s_ext), dtype),
             pltpu.VMEM((2, KP, s_pad), dtype),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((1, back_sz), dtype),
         ],
         interpret=_interpret(),
     )

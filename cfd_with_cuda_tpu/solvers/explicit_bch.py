@@ -122,7 +122,9 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             if snap is not None:
                 sc.solver_restore(self, snap)
                 self._compiled = {}
+                self.setup_cache_hit = True
                 return
+        self.setup_cache_hit = False
 
         # parity-split layout attrs (filled by _try_structured when active)
         self.layout = "interleaved"
@@ -847,7 +849,16 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                 udotg = udotg + (
                     cfg.conv_stab * div0[None] * d["Sv"].T[:, :, None]
                 )
-            conv_planes = parity and cfg.conv_mode != "matrix-free"
+            # planes-route scale guard: at 51^3 coarse (ne125 row,
+            # round-5 BENCH_MATRIX) the streamed two-table kernel
+            # crashes the remote compile helper; the flat matrix-free
+            # route covers those sizes.  conv_mode="planes" forces the
+            # route regardless (for re-probing on newer runtimes).
+            planes_fits = self.sp_c is None or self.sp_c <= 100_000
+            conv_planes = parity and (
+                cfg.conv_mode == "planes"
+                or (cfg.conv_mode != "matrix-free" and planes_fits)
+            )
             sv_i = d["Sv"]
             if conv_planes:
                 # planes mode wants ae's i axis grouped by element-
@@ -949,6 +960,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                         maxiter=cfg.pressure_cg_maxiter,
                         x0=x0_[0] if x0_ else None,
                         unroll=max(1, int(cfg.pressure_cg_unroll)),
+                        fuse_loop=cfg.pressure_cg_fuse_loop,
                         sym=cfg.pressure_cg_sym and "Z_win_cg" in d,
                         _skip_loop="cgnoloop" in abl,
                         # MIXED policy: double-single in-kernel dots

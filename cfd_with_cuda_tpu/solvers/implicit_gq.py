@@ -98,7 +98,9 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             if snap is not None:
                 sc.solver_restore(self, snap)
                 self._momentum_solver = solver_by_name(cfg.momentum_solver)
+                self.setup_cache_hit = True
                 return
+        self.setup_cache_hit = False
 
         # parity-split layout attrs (filled by _try_structured when active)
         self.layout = "interleaved"
@@ -796,6 +798,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,
             x0=pdiff0,
             unroll=max(1, int(cfg.pressure_cg_unroll)),
+            fuse_loop=cfg.pressure_cg_fuse_loop,
             sym=cfg.pressure_cg_sym,
             dot_mode=(
                 "compensated" if cfg.krylov_dot_dtype() is not None
@@ -1019,6 +1022,7 @@ class ImplicitGQSolver(ChunkedTimeLoop):
                     tol=cfg.pressure_cg_tol, maxiter=cfg.pressure_cg_maxiter,
                     x0=x0_[0] if x0_ else None,
                     unroll=max(1, int(cfg.pressure_cg_unroll)),
+                    fuse_loop=cfg.pressure_cg_fuse_loop,
                     sym=cfg.pressure_cg_sym and "Z_win_cg" in d,
                     # MIXED policy: double-single in-kernel dots stand in
                     # for the XLA path's f64 reductions

@@ -135,6 +135,7 @@ class SegregatedSolver:
             for d in range(3)
         ]
         self._conn = deck.conn
+        self._setup_scpe_map()
 
         # monitor-point LIST: the legacy dialect carries several probe
         # coordinates and the reference prints every one per outer
@@ -148,6 +149,88 @@ class SegregatedSolver:
         self.monitor_nodes = (
             np.asarray([find_monitor_node(deck.coords, xyz) for xyz in pts])
             if pts is not None else np.empty(0, np.int64)
+        )
+
+    def _setup_scpe_map(self):
+        """Precompute the SCPE LHS as a LINEAR map of the inverse
+        momentum diagonals.
+
+        ``(C_d^T diag(kinv_d) C_d)[i, j] = sum_k C_d[k,i] kinv_d[k] C_d[k,j]``
+        is linear in ``kinv``, so the whole triple product collapses to
+        ONE fixed sparse matrix ``P (nnz_lhs, 3 nn)`` built once at
+        setup: per outer iteration the LHS values are ``P @ kinv_cat``
+        — one SpMV instead of the reference's per-iteration SpMM chain
+        (it rebuilt C^T K^-1 C with CUSP SpMM on the GPU every outer
+        iteration, ``CUSP_pC_CUDA_CG.cu:41-397``; round-4 bench carried
+        the same per-iteration cost through host scipy).
+
+        The pressure-pin row/col elimination is folded in value space
+        on the SAME fixed pattern (slot masks + unit pin diagonal), so
+        the Krylov backend's ELL pattern cache holds across iterations
+        too.
+        """
+        nn = self.nn
+        pat = sum(
+            (abs(self.CT[d]) @ abs(self.C[d])).tocsr() for d in range(3)
+        )
+        pat.sort_indices()
+        pat.sum_duplicates()
+        self._scpe_indptr = pat.indptr.copy()
+        self._scpe_indices = pat.indices.copy()
+        nnz = pat.nnz
+
+        # global sorted key per pattern slot (rows ascending, cols sorted
+        # within rows) -> slot lookup for a batch of (i, j) pairs is one
+        # vectorized searchsorted
+        row_of_slot_p = np.repeat(np.arange(nn), np.diff(self._scpe_indptr))
+        pat_keys = row_of_slot_p.astype(np.int64) * nn + self._scpe_indices
+
+        rows_all, cols_all, vals_all = [], [], []
+        for d in range(3):
+            C = self.C[d].tocsr()
+            C.sort_indices()
+            i_d, j_d, v_d, k_d = [], [], [], []
+            for k in range(nn):
+                lo, hi = C.indptr[k], C.indptr[k + 1]
+                m = hi - lo
+                if m == 0:
+                    continue
+                idx = C.indices[lo:hi].astype(np.int64)
+                val = C.data[lo:hi]
+                i_d.append(np.repeat(idx, m))       # row of LHS entry
+                j_d.append(np.tile(idx, m))         # col of LHS entry
+                v_d.append(np.repeat(val, m) * np.tile(val, m))
+                k_d.append(np.full(m * m, d * nn + k, np.int64))
+            i_d = np.concatenate(i_d)
+            j_d = np.concatenate(j_d)
+            slot = np.searchsorted(pat_keys, i_d * nn + j_d)
+            assert np.array_equal(pat_keys[slot], i_d * nn + j_d)
+            rows_all.append(slot)
+            cols_all.append(np.concatenate(k_d))
+            vals_all.append(np.concatenate(v_d))
+        self._scpe_P = sp.csr_matrix(
+            (
+                np.concatenate(vals_all),
+                (np.concatenate(rows_all), np.concatenate(cols_all)),
+            ),
+            shape=(nnz, 3 * nn),
+        )
+        # pin masks in value space: zero pinned rows+cols, unit diagonal
+        keep = np.ones(nn)
+        keep[self._dp_pin] = 0.0
+        self._scpe_keep = keep[row_of_slot_p] * keep[self._scpe_indices]
+        self._scpe_pin_diag = (
+            (row_of_slot_p == self._scpe_indices)
+            & (keep[row_of_slot_p] == 0.0)
+        ).astype(float)
+
+    def _scpe_lhs(self, kinv) -> sp.csr_matrix:
+        """SCPE LHS (pin applied) from the three inverse diagonals."""
+        vals = self._scpe_P @ np.concatenate(kinv)
+        vals = vals * self._scpe_keep + self._scpe_pin_diag
+        return sp.csr_matrix(
+            (vals, self._scpe_indices, self._scpe_indptr),
+            shape=(self.nn, self.nn),
         )
 
     def _conv_elemental(self, u: np.ndarray, v, w_):
@@ -218,20 +301,14 @@ class SegregatedSolver:
                 kdiag.append(diag)
             kinv = [1.0 / d for d in kdiag]
 
-            lhs = sum(
-                (self.CT[d] @ sp.diags(kinv[d]) @ self.C[d]).tocsr()
-                for d in range(3)
-            )
+            # SCPE LHS = sum_d C_d^T diag(kinv_d) C_d via the precomputed
+            # linear map (one SpMV on a FIXED pattern; pressure pin by
+            # SYMMETRIC row/col elimination + unit diagonal folded into
+            # the value masks — see _setup_scpe_map; the eliminated
+            # columns multiply dp = 0, so no RHS shift)
+            lhs = self._scpe_lhs(kinv)
             rhs = -sum(self.CT[d] @ vel[d] for d in range(3))
-            # pressure pin: fix delta_p = 0 at the pin nodes by SYMMETRIC
-            # row/col elimination + unit diagonal (row-only zeroing would
-            # leave the matrix nonsymmetric under the default CG solver;
-            # the eliminated columns multiply dp = 0, so no RHS shift)
             if len(self._dp_pin):
-                keep_p = np.ones(nn)
-                keep_p[self._dp_pin] = 0.0
-                Dk = sp.diags(keep_p)
-                lhs = (Dk @ lhs @ Dk + sp.diags(1.0 - keep_p)).tocsr()
                 rhs[self._dp_pin] = 0.0
             dp, p_iters = self._krylov(lhs, rhs, self.pressure_solver)
 

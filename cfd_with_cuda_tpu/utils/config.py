@@ -82,6 +82,15 @@ class SolverConfig:
     # (tests/test_pallas_cg.py); opt-in pending an on-TPU A/B of the
     # extra in-register lane shifts vs the saved DMA bytes.
     pressure_cg_sym: bool = False
+    # Run the ENTIRE pressure CG (init + iteration loop + convergence)
+    # as ONE pallas_call with the lax.while_loop INSIDE the kernel
+    # (ops/pallas_cg._cg_solve_kernel): iterate vectors never leave
+    # VMEM and the loop carry is scalar-only, removing the measured
+    # ~100 us/iteration dispatch + while-carry cost of the
+    # one-call-per-iteration variant (docs/PERF.md round 4) and the
+    # unroll quantization of iteration counts.  False = the
+    # per-iteration kernel under an XLA while_loop.
+    pressure_cg_fuse_loop: bool = False
     # Warm-start the pressure CG from the previous sub-iteration's pdot
     # (x0=0 matches the reference's MKL/CUSP solvers exactly, so this
     # defaults off).  The convergence bound stays relative to ||b||, so

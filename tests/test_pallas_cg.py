@@ -134,6 +134,73 @@ def test_fused_cg_symmetric_half_stream_matches_full(pinned_z):
             assert np.linalg.norm(r) <= 1.5e-6 * np.linalg.norm(b)
 
 
+def test_fused_cg_fuse_loop_matches_iter_path(pinned_z):
+    """fuse_loop=True (the whole solve as ONE pallas_call with the
+    while_loop inside the kernel) runs the identical algorithm: same
+    iteration counts as the per-iteration path at unroll=1 (both check
+    convergence every iteration), matching solutions, true residual
+    within tolerance.  Cold + warm start, full + sym half-stream,
+    plain + compensated dots."""
+    from cfd_with_cuda_tpu.ops.pallas_cg import cg_weight_layout
+
+    win, diag, dims, radius = pinned_z
+    rng = np.random.default_rng(13)
+    s = int(np.prod(dims))
+    b = rng.standard_normal(s).astype(np.float32)
+    b[0] = 0.0
+    x0 = rng.standard_normal(s).astype(np.float32) * 0.1
+    mv = lambda p: patches_spmv(jnp.asarray(win), p, dims, radius)
+
+    args = dict(dims=dims, radius=radius, tol=1e-6, maxiter=200)
+    pre_sym = jnp.asarray(cg_weight_layout(win, dims, radius, sym=True))
+    for warm in (None, x0):
+        for sym, w in ((False, jnp.asarray(win)), (True, pre_sym)):
+            ref = fused_cg(
+                jnp.asarray(win), jnp.asarray(b), jnp.asarray(1.0 / diag),
+                x0=warm, unroll=1, **args,
+            )
+            out = fused_cg(
+                w, jnp.asarray(b), jnp.asarray(1.0 / diag),
+                x0=warm, sym=sym, fuse_loop=True, **args,
+            )
+            assert abs(int(out.iters) - int(ref.iters)) <= 1
+            np.testing.assert_allclose(
+                np.asarray(out.x), np.asarray(ref.x), rtol=2e-4, atol=2e-5
+            )
+            r = b - np.asarray(mv(out.x))
+            assert np.linalg.norm(r) <= 1.5e-6 * np.linalg.norm(b)
+
+    # compensated dots inside the fused loop
+    out = fused_cg(
+        jnp.asarray(win), jnp.asarray(b), jnp.asarray(1.0 / diag),
+        fuse_loop=True, dot_mode="compensated", **args,
+    )
+    r = b - np.asarray(mv(out.x))
+    assert np.linalg.norm(r) <= 1.5e-6 * np.linalg.norm(b)
+
+
+def test_fused_cg_fuse_loop_zero_rhs(pinned_z):
+    """b = 0 must return x = 0 after 0 iterations (breakdown guards),
+    cold and warm-started."""
+    win, diag, dims, radius = pinned_z
+    s = int(np.prod(dims))
+    b = np.zeros(s, np.float32)
+    x0 = np.full(s, 0.3, np.float32)
+    out = fused_cg(
+        jnp.asarray(win), jnp.asarray(b), jnp.asarray(1.0 / diag),
+        dims=dims, radius=radius, tol=1e-6, maxiter=50, fuse_loop=True,
+    )
+    assert int(out.iters) == 0
+    np.testing.assert_array_equal(np.asarray(out.x), b)
+    # warm start: bound = tol*||b|| = 0; rn0 > 0 so it iterates toward 0
+    out = fused_cg(
+        jnp.asarray(win), jnp.asarray(b), jnp.asarray(1.0 / diag),
+        dims=dims, radius=radius, tol=1e-6, maxiter=50, x0=jnp.asarray(x0),
+        fuse_loop=True,
+    )
+    assert np.isfinite(np.asarray(out.x)).all()
+
+
 def test_cg_weight_layout_sym_rejects_asymmetric(pinned_z):
     from cfd_with_cuda_tpu.ops.pallas_cg import cg_weight_layout
 
