@@ -108,6 +108,7 @@ def cg(
     maxiter: int = 1000,
     precond: Callable | None = None,
     dot_dtype=None,
+    rtol_base: str = "b",
 ) -> KrylovResult:
     """Preconditioned conjugate gradient (SPD systems)."""
     M = precond or _identity_precond
@@ -118,6 +119,19 @@ def cg(
     p = z
     rz = dot(r, z)
     bound = jnp.maximum(tol * _max(norm(b)), atol)
+    if rtol_base == "r0":
+        # warm-started semantics: a ||b||-relative bound with an
+        # M/dt-inflated b lets a warm-started solve exit at 0
+        # iterations, freezing the outer iteration at an unconverged
+        # state (the Re=1000 step-463 freeze, docs/VALIDATION.md
+        # round 5).  Cap the bound at 1% of the WARM residual: never
+        # looser than the reference's bound, and guarantees >= 100x
+        # residual reduction per solve whenever r0 != 0, so the outer
+        # loop always makes progress.  atol still floors it at the
+        # true fixed point.
+        bound = jnp.maximum(
+            jnp.minimum(bound, 0.01 * _max(norm(r))), atol
+        )
 
     def cond(state):
         x, r, z, p, rz, k = state
@@ -149,6 +163,7 @@ def cr(
     maxiter: int = 1000,
     precond: Callable | None = None,
     dot_dtype=None,
+    rtol_base: str = "b",
 ) -> KrylovResult:
     """Preconditioned conjugate residual (symmetric systems)."""
     M = precond or _identity_precond
@@ -164,6 +179,19 @@ def cr(
     # difference — with Jacobi M the (r, Az) form genuinely diverges
     zAz = dot(z, Az)
     bound = jnp.maximum(tol * _max(norm(b)), atol)
+    if rtol_base == "r0":
+        # warm-started semantics: a ||b||-relative bound with an
+        # M/dt-inflated b lets a warm-started solve exit at 0
+        # iterations, freezing the outer iteration at an unconverged
+        # state (the Re=1000 step-463 freeze, docs/VALIDATION.md
+        # round 5).  Cap the bound at 1% of the WARM residual: never
+        # looser than the reference's bound, and guarantees >= 100x
+        # residual reduction per solve whenever r0 != 0, so the outer
+        # loop always makes progress.  atol still floors it at the
+        # true fixed point.
+        bound = jnp.maximum(
+            jnp.minimum(bound, 0.01 * _max(norm(r))), atol
+        )
 
     def cond(state):
         x, r, z, p, Ap, zAz, k = state
@@ -199,6 +227,7 @@ def bicg(
     precond: Callable | None = None,
     dot_dtype=None,
     assume_symmetric: bool = False,
+    rtol_base: str = "b",
 ) -> KrylovResult:
     """BiConjugate gradient (general systems; needs A^T matvec).
 
@@ -221,7 +250,7 @@ def bicg(
         # the matvec cost — BiCG literally IS CG here
         return cg(
             matvec, b, x0, tol=tol, atol=atol, maxiter=maxiter,
-            precond=precond, dot_dtype=dot_dtype,
+            precond=precond, dot_dtype=dot_dtype, rtol_base=rtol_base,
         )
     M = precond or _identity_precond
     dot, norm = _make_dot(dot_dtype)
@@ -234,6 +263,19 @@ def bicg(
     p, pt = z, zt
     rz = dot(rt, z)
     bound = jnp.maximum(tol * _max(norm(b)), atol)
+    if rtol_base == "r0":
+        # warm-started semantics: a ||b||-relative bound with an
+        # M/dt-inflated b lets a warm-started solve exit at 0
+        # iterations, freezing the outer iteration at an unconverged
+        # state (the Re=1000 step-463 freeze, docs/VALIDATION.md
+        # round 5).  Cap the bound at 1% of the WARM residual: never
+        # looser than the reference's bound, and guarantees >= 100x
+        # residual reduction per solve whenever r0 != 0, so the outer
+        # loop always makes progress.  atol still floors it at the
+        # true fixed point.
+        bound = jnp.maximum(
+            jnp.minimum(bound, 0.01 * _max(norm(r))), atol
+        )
 
     def cond(state):
         x, r, rt, p, pt, rz, k = state
@@ -269,6 +311,7 @@ def bicgstab(
     maxiter: int = 1000,
     precond: Callable | None = None,
     dot_dtype=None,
+    rtol_base: str = "b",
 ) -> KrylovResult:
     """Preconditioned BiCGStab (general systems) — the reference's momentum
     solver (Paralution / cusp::krylov::bicgstab)."""
@@ -280,6 +323,19 @@ def bicgstab(
     rho = dot(rhat, r)
     p = r
     bound = jnp.maximum(tol * _max(norm(b)), atol)
+    if rtol_base == "r0":
+        # warm-started semantics: a ||b||-relative bound with an
+        # M/dt-inflated b lets a warm-started solve exit at 0
+        # iterations, freezing the outer iteration at an unconverged
+        # state (the Re=1000 step-463 freeze, docs/VALIDATION.md
+        # round 5).  Cap the bound at 1% of the WARM residual: never
+        # looser than the reference's bound, and guarantees >= 100x
+        # residual reduction per solve whenever r0 != 0, so the outer
+        # loop always makes progress.  atol still floors it at the
+        # true fixed point.
+        bound = jnp.maximum(
+            jnp.minimum(bound, 0.01 * _max(norm(r))), atol
+        )
 
     def cond(state):
         x, r, p, rho, k = state
@@ -307,7 +363,8 @@ def bicgstab(
 
 
 def _gmres_single(
-    matvec, b, x0, *, tol, atol, maxiter, restart, precond, dot_dtype=None
+    matvec, b, x0, *, tol, atol, maxiter, restart, precond, dot_dtype=None,
+    rtol_base: str = "b",
 ) -> KrylovResult:
     """Restarted GMRES on a single (N,) system, right-preconditioned.
 
@@ -326,6 +383,13 @@ def _gmres_single(
     n = b.shape[0]
     m = restart
     bound = jnp.maximum(tol * jnp.linalg.norm(b), atol)
+    if rtol_base == "r0":
+        # warm-started semantics: see the cg/bicgstab bound comment
+        x_w = jnp.zeros_like(b) if x0 is None else x0
+        bound = jnp.maximum(
+            jnp.minimum(bound, 0.01 * jnp.linalg.norm(b - matvec(x_w))),
+            atol,
+        )
     eps = jnp.asarray(_DIV_FLOOR, b.dtype)  # not finfo.tiny: see _DIV_FLOOR
 
     def arnoldi_cycle(x):
@@ -410,6 +474,7 @@ def gmres(
     restart: int = 100,
     precond: Callable | None = None,
     dot_dtype=None,
+    rtol_base: str = "b",
 ) -> KrylovResult:
     """Restarted GMRES — the reference's CUSP momentum/monolithic solver
     (``oldFiles/segregatedSolver/CUSP_GMRES.cu:75``, restart=100).
@@ -421,12 +486,14 @@ def gmres(
         return _gmres_single(
             matvec, b, x0, tol=tol, atol=atol, maxiter=maxiter,
             restart=restart, precond=precond, dot_dtype=dot_dtype,
+            rtol_base=rtol_base,
         )
 
     def solve_col(bc, x0c):
         return _gmres_single(
             matvec, bc, x0c, tol=tol, atol=atol, maxiter=maxiter,
             restart=restart, precond=precond, dot_dtype=dot_dtype,
+            rtol_base=rtol_base,
         )
 
     x0_cols = jnp.zeros_like(b) if x0 is None else x0

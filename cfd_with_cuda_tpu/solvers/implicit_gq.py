@@ -776,6 +776,12 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             tol=cfg.momentum_tol,
             atol=cfg.momentum_abs_tol,
             maxiter=cfg.momentum_maxiter,
+            # warm-started solves reduce the WARM residual by tol (the
+            # ||b||-relative bound is inflated by the M/dt term and lets
+            # a warm solve exit at 0 iterations, freezing the time loop
+            # at an unconverged state — the Re=1000 step-463 freeze,
+            # docs/VALIDATION.md round 5); never looser than reference
+            rtol_base="r0" if warm else "b",
             dot_dtype=cfg.krylov_dot_dtype(),
             precond=lambda r: r / a_diag,
         )
@@ -996,6 +1002,12 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             tol=cfg.momentum_tol,
             atol=cfg.momentum_abs_tol,
             maxiter=cfg.momentum_maxiter,
+            # warm-started solves reduce the WARM residual by tol (the
+            # ||b||-relative bound is inflated by the M/dt term and lets
+            # a warm solve exit at 0 iterations, freezing the time loop
+            # at an unconverged state — the Re=1000 step-463 freeze,
+            # docs/VALIDATION.md round 5); never looser than reference
+            rtol_base="r0" if warm else "b",
             dot_dtype=cfg.krylov_dot_dtype(),
             precond=lambda r: r / a_diag,
         )
@@ -1126,6 +1138,12 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             tol=cfg.momentum_tol,
             atol=cfg.momentum_abs_tol,
             maxiter=cfg.momentum_maxiter,
+            # warm-started solves reduce the WARM residual by tol (the
+            # ||b||-relative bound is inflated by the M/dt term and lets
+            # a warm solve exit at 0 iterations, freezing the time loop
+            # at an unconverged state — the Re=1000 step-463 freeze,
+            # docs/VALIDATION.md round 5); never looser than reference
+            rtol_base="r0" if warm else "b",
             dot_dtype=cfg.krylov_dot_dtype(),
             precond=lambda r: r / a_diag,
         )

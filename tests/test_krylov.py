@@ -281,3 +281,33 @@ def test_bicg_requires_rmatvec_or_declared_symmetry(rng):
                       assume_symmetric=True)
     np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b),
                                atol=1e-7)
+
+
+@pytest.mark.parametrize("method", ["cg", "bicgstab", "gmres"])
+def test_rtol_base_r0_prevents_warm_start_freeze(method, rng):
+    """With a huge-norm b (the implicit momentum M/dt inflation) and a
+    warm start already inside tol*||b||, the default bound exits at 0
+    iterations and returns x0 BITWISE — the outer-loop freeze of
+    docs/VALIDATION.md round 5.  rtol_base="r0" caps the bound at 1% of
+    the warm residual, forcing progress, while never loosening the
+    ||b||-relative contract."""
+    n = 24
+    A = _spd(n, rng)
+    x_true = rng.standard_normal(n)
+    b = A @ x_true
+    # warm start whose residual is ~1e-8 * ||b||: inside tol=1e-6 * ||b||
+    x0 = x_true + 1e-8 * np.linalg.norm(x_true) * rng.standard_normal(n)
+    mv = lambda x: jnp.asarray(A) @ x
+    kw: dict = dict(tol=1e-6, maxiter=200)
+    solver = getattr(krylov, method)
+    frozen = solver(mv, jnp.asarray(b), x0=jnp.asarray(x0), **kw)
+    assert int(frozen.iters) == 0
+    np.testing.assert_array_equal(np.asarray(frozen.x), x0)
+
+    moved = solver(
+        mv, jnp.asarray(b), x0=jnp.asarray(x0), rtol_base="r0", **kw
+    )
+    assert int(moved.iters) >= 1
+    r0 = np.linalg.norm(b - A @ x0)
+    r1 = np.linalg.norm(b - A @ np.asarray(moved.x))
+    assert r1 <= 0.011 * r0                      # >= ~100x reduction

@@ -78,22 +78,33 @@ def test_stored_re100_explicit_documented_behavior():
     assert doc.exists() and "limit cycle" in doc.read_text()
 
 
-def test_stored_re100_explicit_stabilized_holds_ghia_band():
-    """The Temam-stabilized explicit mode (SolverConfig.conv_stab=0.5 —
-    the divergence correction the reference's implicit kernel carries
-    hardcoded to 0.0, guermondQuartapelle.cpp:3864-3865) must HOLD the
-    Ghia band long-horizon where the plain Galerkin explicit scheme
-    erodes (docs/VALIDATION.md): this artifact is a >= 50k-step NE27000
-    run seeded at the implicit steady state."""
+def test_stored_re100_explicit_stabilized_measured_envelope():
+    """Temam stabilization (conv_stab=0.5 — the divergence correction
+    the reference's implicit kernel carries hardcoded to 0.0,
+    guermondQuartapelle.cpp:3864-3865) does NOT rescue the explicit
+    scheme's saturated-oscillation erosion at the canonical deck: the
+    quiet-regime mechanism the 15^3 oracle validated
+    (diag_oracle_drift_stab0.5.npz holds to 1.5e-5) does not transfer
+    to the f32 NE27000 deck, where rounding noise keeps the near-lid
+    mode saturated (docs/VALIDATION.md round 5).  This pins the
+    MEASURED 100k-step envelope (seeded at the implicit steady state)
+    as characterization, exactly like the plain-explicit artifact —
+    if stabilization starts holding, the docs must change."""
     d = _stored(100, "explicit_stab")
     assert int(d["steps"]) >= 50_000, int(d["steps"])
     err_u, err_v = check_against_ghia(d["z"], d["u_x"], d["x"], d["u_z"], re=100)
-    assert err_u < BAND_3D, err_u
-    assert err_v < BAND_3D, err_v
+    # measured at 100k steps: err 0.082/0.054 — profile still SHAPED
+    # right, magnitude eroding within the documented envelope
+    assert err_u < 0.15 and err_v < 0.15, (err_u, err_v)
     u_i = np.interp(GHIA_U[:, 0], d["z"], d["u_x"])
-    assert np.corrcoef(u_i, GHIA_U[:, 1])[0, 1] > 0.995
-    # long-horizon HOLD: no residual monitor drift
-    assert d["drift_per_kstep"] < 5e-5, float(d["drift_per_kstep"])
+    assert np.corrcoef(u_i, GHIA_U[:, 1])[0, 1] > 0.99
+    # still drifting at the measured rate (measured 3.6e-4/kstep; the
+    # oscillation stays saturated) — NOT a hold
+    assert 5e-5 < float(d["drift_per_kstep"]) < 1e-3
+    doc = (
+        Path(__file__).resolve().parents[1] / "docs" / "VALIDATION.md"
+    ).read_text()
+    assert "does not transfer" in doc
 
 
 def test_stored_re1000_profiles_within_ghia_band():
