@@ -20,13 +20,10 @@ if [ "$probe" != "axon" ] && [ "$probe" != "tpu" ]; then
 fi
 echo "== TPU backend: $probe"
 
-echo "== 1. bench matrix: the six rows with no valid number"
-timeout 7200 python scripts/bench_matrix.py explicit64 ell ne85 ne125 bendduct bfs
+echo "== 1. bench matrix: ALL 12 rows at HEAD (one coherent post-fix block)"
+timeout 10800 python scripts/bench_matrix.py
 
-echo "== 2. stabilized explicit long-horizon hold (seeded at implicit steady)"
-timeout 4000 python scripts/validate_cavity.py --stab 0.5 --seed-implicit --steps 100000
-
-echo "== 3. Re=1000 refined-cavity validation (implicit)"
+echo "== 3. Re=1000 refined-cavity validation (implicit, post-freeze-fix)"
 timeout 4000 python scripts/validate_cavity.py --re1000 --implicit
 
 echo "== 4. precision parity f32/mixed/f64 at NE27000"
