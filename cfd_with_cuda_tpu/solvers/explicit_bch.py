@@ -72,6 +72,10 @@ class ExplicitState(NamedTuple):
     # warm iterations at NE27000).  The CG bound stays relative to ||b||
     # so the converged iterate is unchanged.
     pdot: jax.Array
+    # pdot one step earlier: with pressure_warm_extrap the first solve
+    # warm-starts from the linear extrapolation 2*pdot - pdot_nm1
+    # (carrying the step-to-step trend), same ||b||-relative bound
+    pdot_nm1: jax.Array
 
 
 @dataclass
@@ -569,7 +573,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         pn = jnp.zeros(self.nnp, dtype=dtype)
         return ExplicitState(
             un=un, pn=pn, unp1_prev=jnp.zeros_like(un),
-            pdot=jnp.zeros_like(pn),
+            pdot=jnp.zeros_like(pn), pdot_nm1=jnp.zeros_like(pn),
         )
 
     def state_from_fields(self, u: np.ndarray, p: np.ndarray) -> ExplicitState:
@@ -595,6 +599,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             pn=jnp.asarray(p, dtype=dtype),
             unp1_prev=jnp.zeros(u.shape, dtype=dtype),
             pdot=jnp.zeros(p.shape, dtype=dtype),
+            pdot_nm1=jnp.zeros(p.shape, dtype=dtype),
         )
 
     # ------------------------------------------------------------- one step
@@ -605,7 +610,14 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         dt = self.dt
         nn = self.nn
 
-        un, pn, unp1_prev0, pdot0 = state
+        un, pn, unp1_prev0, pdot0, pdot_nm1 = state
+        if cfg.pressure_warm_extrap and cfg.pressure_warm_start:
+            # first-solve warm start carries the step-to-step trend;
+            # sub-iteration warm starts (pdot_prev in the carry) are
+            # within-step and stay plain
+            pdot_init = pdot0 + (pdot0 - pdot_nm1)
+        else:
+            pdot_init = pdot0
         zeros_u = jnp.zeros_like(un)
         # profiling scaffolding: scripts/ablate_step.py sets _ablate to
         # compile step variants with components nulled out and recover
@@ -1103,7 +1115,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         init = (
             jnp.asarray(1), jnp.asarray(False),
             un, unp1_prev0, pn, zeros_u,
-            un, pn, jnp.asarray(0), pdot0,
+            un, pn, jnp.asarray(0), pdot_init,
         )
         out = lax.while_loop(cond, iteration, init)
         (it, _conv, _uhp, unp1_prev, _pprev, _kacc, unp1, pnp1, cgit,
@@ -1120,7 +1132,8 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             cg_iters=cgit, mom_iters=jnp.asarray(0),
         )
         new_state = ExplicitState(
-            un=unp1, pn=pnp1, unp1_prev=unp1_prev, pdot=pdot_out
+            un=unp1, pn=pnp1, unp1_prev=unp1_prev, pdot=pdot_out,
+            pdot_nm1=pdot0,
         )
         return new_state, stats
 

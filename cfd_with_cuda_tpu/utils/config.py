@@ -97,6 +97,11 @@ class SolverConfig:
     # the solution quality contract is unchanged — only the iteration
     # count drops.  Fused-Pallas path only.
     pressure_warm_start: bool = False
+    # With pressure_warm_start: seed each step's FIRST pressure solve
+    # from the linear extrapolation 2*pdot - pdot(previous step) instead
+    # of the last pdot — carries the step-to-step trend of the pressure
+    # rate.  Same ||b||-relative bound; only the iteration count changes.
+    pressure_warm_extrap: bool = False
     # Warm-start the implicit integrator's solves: momentum BiCGStab from
     # u^k (the unknown changes O(dt) per step) and the pressure-increment
     # CG from the previous step's increment.  Same relative-to-||b||

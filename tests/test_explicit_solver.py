@@ -150,3 +150,27 @@ def test_steady_flag_carries_across_chunks():
     u2, p2 = solver2.fields(state2)
     np.testing.assert_array_equal(u1, u2)
     np.testing.assert_array_equal(p1, p2)
+
+
+def test_warm_extrap_same_physics():
+    """pressure_warm_extrap changes only the CG starting guess (bound
+    stays ||b||-relative): the converged fields must agree with the
+    plain path to solver tolerance, not bitwise."""
+    deck = cavity_deck(3, viscosity=0.1, dt=0.005, t_final=1.0)
+    base = ExplicitBCHSolver(
+        deck, SolverConfig(steps_per_chunk=5, pressure_warm_start=True)
+    )
+    ext = ExplicitBCHSolver(
+        deck,
+        SolverConfig(
+            steps_per_chunk=5, pressure_warm_start=True,
+            pressure_warm_extrap=True,
+        ),
+    )
+    s1, _ = base.run(n_steps=20)
+    s2, _ = ext.run(n_steps=20)
+    u1, p1 = base.fields(s1)
+    u2, p2 = ext.fields(s2)
+    scale = np.abs(u1).max()
+    np.testing.assert_allclose(u2, u1, atol=5e-5 * max(scale, 1.0))
+    np.testing.assert_allclose(p2, p1, atol=5e-4 * max(np.abs(p1).max(), 1.0))
