@@ -24,12 +24,20 @@ CHUNK = 25
 N = 50
 
 
+def _cli_int(flag, default):
+    return int(sys.argv[sys.argv.index(flag) + 1]) if flag in sys.argv else default
+
+
 def main():
     from cfd_with_cuda_tpu.io.deck import read_deck
     from cfd_with_cuda_tpu.mesh.generators import cavity_deck
     from cfd_with_cuda_tpu.solvers.explicit_bch import ExplicitBCHSolver
     from cfd_with_cuda_tpu.utils.config import DTypePolicy, SolverConfig
     from cfd_with_cuda_tpu.utils.setup_cache import enable_compilation_cache
+
+    global CHUNK, N
+    CHUNK = _cli_int("--chunk", CHUNK)
+    N = _cli_int("--n", N)
 
     enable_compilation_cache()
     deck = (
@@ -38,9 +46,13 @@ def main():
     )
     deck.convergence_criteria = -1.0        # never "steady" under ablation
 
+    # --ell: ablate the UNSTRUCTURED (elemental matrix-free) path on the
+    # same deck — attribution for the ell bench row's ms/step
+    extra = {"structured": "never"} if "--ell" in sys.argv else {}
     cfg = SolverConfig(
         dtype_policy=DTypePolicy.F32, pressure_cg_tol=1e-6,
         steps_per_chunk=CHUNK, setup_cache="auto", pressure_precond="jacobi",
+        **extra,
     )
     solver = ExplicitBCHSolver(deck, cfg)
     print(f"max_iter={deck.max_iter} (all variants run exactly this many "

@@ -1,0 +1,16 @@
+#!/usr/bin/env bash
+# Round-5 follow-up measurements: attribution + A/Bs that need the TPU
+# exclusively.  Run AFTER round5_measure.sh completes, ALONE on the host.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== A. chunk decomposition at the headline config (chunk=300)"
+timeout 1800 python scripts/profile_chunk.py 300
+
+echo "== B. warm-start variants + layout ladder"
+timeout 2400 python scripts/diag_round5.py
+
+echo "== C. unstructured (ell) path ablation"
+timeout 2400 python scripts/ablate_step.py --ell --chunk 5 --n 10
+
+echo "== DONE"
