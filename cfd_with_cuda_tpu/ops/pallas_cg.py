@@ -52,7 +52,7 @@ _DIV_FLOOR = 1e-35  # matches ops.krylov._DIV_FLOOR
 
 
 def cg_weight_layout(win: np.ndarray, dims, radius: int,
-                     sym: bool = False) -> np.ndarray:
+                     sym: bool = False, offs=None) -> np.ndarray:
     """Pre-pad window weights to the kernel's DMA-block layout
     ``(nb, KP, s_pad)`` on the host at setup time.
 
@@ -68,15 +68,17 @@ def cg_weight_layout(win: np.ndarray, dims, radius: int,
     both directions, halving the dominant per-iteration HBM stream
     (125 -> 63 slots for the radius-2 product Z).  Pair with
     ``fused_cg(..., sym=True)``.
+
+    ``offs``: explicit slot-offset tuple for a GENERALIZED banded
+    operator (``fused_cg(offs=...)`` — e.g. ``ops.banded`` tables on an
+    unstructured mesh); default = the dims/radius cube-window scan.
+    ``sym`` with explicit ``offs`` requires the offset set to be
+    mirror-symmetric with the center at ``len(offs)//2``.
     """
-    w = 2 * radius + 1
-    w3 = w * w * w
     s = int(np.prod(dims))
-    assert win.shape == (w3, s), (win.shape, (w3, s))
-    s_pad = _round_up(s, 128)
-    if sym:
-        win = np.asarray(win)
-        c = w3 // 2
+    if offs is None:
+        w = 2 * radius + 1
+        w3 = w * w * w
         sx, sy, _ = dims
         offs = [
             dz * sx * sy + dy * sx + dx
@@ -84,6 +86,16 @@ def cg_weight_layout(win: np.ndarray, dims, radius: int,
             for dy in range(-radius, radius + 1)
             for dx in range(-radius, radius + 1)
         ]
+    else:
+        offs = list(offs)
+        w3 = len(offs)
+    assert win.shape == (w3, s), (win.shape, (w3, s))
+    s_pad = _round_up(s, 128)
+    if sym:
+        win = np.asarray(win)
+        c = w3 // 2
+        if [-o for o in offs[:c]] != list(reversed(offs[c + 1:])) or offs[c] != 0:
+            raise ValueError("sym layout needs a mirror-symmetric offset set")
         for m in range(1, c + 1):
             dq = offs[c + m]
             # win[c-m][q] = Z[q, q-dq] must equal win[c+m][q-dq]
@@ -414,12 +426,13 @@ def _cg_init_kernel(
     jax.jit,
     static_argnames=(
         "dims", "radius", "tol", "maxiter", "unroll", "_skip_loop",
-        "dot_mode", "sym", "fuse_loop",
+        "dot_mode", "sym", "fuse_loop", "offs",
     ),
 )
 def fused_cg(
-    win, b, dinv, *, dims, radius, tol, maxiter, x0=None, unroll=1,
+    win, b, dinv, *, dims, radius=None, tol, maxiter, x0=None, unroll=1,
     _skip_loop=False, dot_mode="plain", sym=False, fuse_loop=False,
+    offs=None,
 ):
     """Jacobi-preconditioned CG on a windowed stencil operator.
 
@@ -444,26 +457,33 @@ def fused_cg(
     per-iteration variant (docs/PERF.md round 4/5).  ``unroll`` and
     ``_skip_loop`` are per-iteration-variant knobs and are ignored.
     """
-    sx, sy, _ = dims
-    w = 2 * radius + 1
-    w3 = w * w * w
     s = int(np.prod(dims))
     dtype = b.dtype
 
-    # window-channel order: z-major scan (ops.pallas_stencil)
-    offs = tuple(
-        dz * sx * sy + dy * sx + dx
-        for dz in range(-radius, radius + 1)
-        for dy in range(-radius, radius + 1)
-        for dx in range(-radius, radius + 1)
-    )
-    halo = -offs[0]
+    if offs is None:
+        # window-channel order: z-major scan (ops.pallas_stencil)
+        sx, sy, _ = dims
+        w = 2 * radius + 1
+        offs = tuple(
+            dz * sx * sy + dy * sx + dx
+            for dz in range(-radius, radius + 1)
+            for dy in range(-radius, radius + 1)
+            for dx in range(-radius, radius + 1)
+        )
+    # generalized banded operators (ops.banded) pass offs directly: any
+    # static offset list works — the kernel only needs halo coverage of
+    # the most negative/positive shifts (offsets need not be symmetric)
+    w3 = len(offs)
+    halo = max(max(abs(int(o)) for o in offs), 1)
     s_pad = _round_up(s, 128)
     s_ext = _round_up(s_pad + 2 * halo, 128)
     if sym:
         # stream only the dq >= 0 half of the symmetric window; each
         # positive offset applied both ways in-kernel (_acc_slot)
-        offs = offs[w3 // 2:]
+        c = w3 // 2
+        if [-o for o in offs[:c]] != list(reversed(list(offs[c + 1:]))) or offs[c] != 0:
+            raise ValueError("sym needs a mirror-symmetric offset set")
+        offs = tuple(offs[c:])
         w3 = len(offs)
     nb = _round_up(w3, KP) // KP
 

@@ -100,6 +100,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
         "gt_dia_off", "use_mg", "mg_dims", "mg_radii",
         "mg_omegas", "_pallas_layout", "conv_oij",
         "layout", "sp_c", "k_pairs", "g_pairs", "mon_cls", "mon_q",
+        "z_offs",
         "conv_i_order", "conv_groups", "conv_pairs2",
     )
 
@@ -206,6 +207,7 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             )
 
         dev = lambda x: np.asarray(x, dtype=dtype)
+        self.z_offs = None
         if not self.structured:
             z_ell = ell_from_csr(
                 Z.indptr.astype(np.int64), Z.indices.astype(np.int64),
@@ -263,6 +265,31 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             )
             # pressure monitor: corner node ids < NNp index pn directly
             self.monitor_node_p = self.monitor_node
+
+            # Banded-window pressure operator (ops/banded.py): when the
+            # deck's corner-node numbering keeps Z's column offsets
+            # bounded (every generator/converter scan order does), the
+            # pressure CG rides the SAME windowed kernels as the
+            # structured path — shifted contiguous reads instead of the
+            # L x NNp random ELL gather per iteration (measured ~2 s of
+            # the 4.2 s/step ell bench row).  ELL stays the fallback.
+            from cfd_with_cuda_tpu.ops.banded import banded_from_csr
+
+            banded = banded_from_csr(Z, max_offsets=512)
+            if banded is not None:
+                self.z_offs, z_bwin = banded
+                self.d["Z_bwin"] = dev(z_bwin)
+                if self._pallas_layout:
+                    # pre-laid DMA-block weight layout + inverse diag for
+                    # the fused CG kernel (skips the per-call pad chain)
+                    from cfd_with_cuda_tpu.ops.pallas_cg import (
+                        cg_weight_layout,
+                    )
+
+                    self.d["Z_bwin_cg"] = cg_weight_layout(
+                        dev(z_bwin), (self.nnp, 1, 1), None,
+                        offs=self.z_offs,
+                    )
         if not self.structured:
             # ELL path shard padding: pad the velocity-node axis to a
             # shard_pad multiple so SPMD runs can 1-D-shard the fields
@@ -691,7 +718,15 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
                     elem_matvec_apply(d["Ke"], u[:, :nn], d["ltog"], d["rev"])
                 )
 
-            z_mul = lambda p: ell_spmv(d["Z_vals"], d["Z_cols"], p)
+            if self.z_offs is not None:
+                from cfd_with_cuda_tpu.ops.banded import banded_spmv_xla
+                from cfd_with_cuda_tpu.ops.pallas_cg import fused_cg
+
+                z_mul = lambda p: banded_spmv_xla(
+                    d["Z_bwin"], self.z_offs, p
+                )
+            else:
+                z_mul = lambda p: ell_spmv(d["Z_vals"], d["Z_cols"], p)
             grad = lambda p: pad_nn(
                 elem_grad_apply(d["Ge"], p, d["ltog_p"], d["rev"])
             )
@@ -956,18 +991,36 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             )
             fused_conv = True
 
+        # banded unstructured meshes run the SAME fused CG kernel with
+        # their explicit offset set (ops/banded.py); spmd runs keep the
+        # XLA banded apply (rolls compose with GSPMD; a pallas_call
+        # cannot sit under it directly)
+        banded_fused = (
+            not use_fused
+            and getattr(self, "z_offs", None) is not None
+            and "Z_bwin_cg" in d
+            and self.spmd_mesh is None
+        )
+
         def pressure_solve(r2, x0=None):
             if "cg" in abl:
                 return KrylovResult(precond(r2), jnp.asarray(0), jnp.asarray(0.0))
-            if use_fused:
-                win_cg = d["Z_win_cg"] if "Z_win_cg" in d else d["Z_win"][:, :self.nnp]
+            if use_fused or banded_fused:
+                if banded_fused:
+                    win_cg = d["Z_bwin_cg"]
+                    cg_dims, cg_radius = (self.nnp, 1, 1), None
+                    cg_offs = self.z_offs
+                else:
+                    win_cg = d["Z_win_cg"] if "Z_win_cg" in d else d["Z_win"][:, :self.nnp]
+                    cg_dims, cg_radius = self.coarse_dims, self.z_radius
+                    cg_offs = None
                 dinv = d["Z_dinv_cg"] if "Z_dinv_cg" in d else 1.0 / d["Z_diag"]
                 warm = x0 if cfg.pressure_warm_start else None
 
                 def solve(win_, r2_, dinv_, *x0_):
                     return fused_cg(
                         win_, r2_, dinv_,
-                        dims=self.coarse_dims, radius=self.z_radius,
+                        dims=cg_dims, radius=cg_radius, offs=cg_offs,
                         tol=cfg.pressure_cg_tol,
                         maxiter=cfg.pressure_cg_maxiter,
                         x0=x0_[0] if x0_ else None,
