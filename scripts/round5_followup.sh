@@ -13,4 +13,8 @@ timeout 2400 python scripts/diag_round5.py
 echo "== C. unstructured (ell) path ablation"
 timeout 2400 python scripts/ablate_step.py --ell --chunk 5 --n 10
 
+
+
+echo "== D. mosaic vs xla gather throughput"
+timeout 900 python scripts/diag_mosaic_gather.py
 echo "== DONE"
