@@ -18,3 +18,6 @@ timeout 2400 python scripts/ablate_step.py --ell --chunk 5 --n 10
 echo "== D. mosaic vs xla gather throughput"
 timeout 900 python scripts/diag_mosaic_gather.py
 echo "== DONE"
+
+echo "== E. unstructured rows re-measured with the banded pressure path"
+timeout 3600 python scripts/bench_matrix.py ell bfs
