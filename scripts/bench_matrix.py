@@ -213,13 +213,15 @@ def run_row(name):
 
         from cfd_with_cuda_tpu.solvers.monolithic import StokesSolver
 
-        # dense_lu: the on-device MXU factor + f64 refinement built for
-        # exactly this role — the reference solved the NE1000 monolithic
-        # system DIRECTLY (dense GE Stokes3D.cpp:1674, PARDISO), not
-        # with 1500 unconverged GMRES iterations (round-4 row)
+        # splu: the host sparse-LU direct solve — the faithful analog of
+        # the role the reference filled with HOST libraries (dense GE
+        # Stokes3D.cpp:1674, MKL PARDISO), converged, in milliseconds.
+        # The on-device dense_lu alternative measured 403 s here
+        # (round 5): jax lu_factor's sequential partial pivoting is
+        # TPU-hostile at n=5324 — documented in ops/linsolve.py.
         deck = legacy_cavity()
         t0 = time.time()
-        solver = StokesSolver(deck, solver="dense_lu", solver_tol=1e-10)
+        solver = StokesSolver(deck, solver="splu", solver_tol=1e-10)
         setup = time.time() - t0
         t0 = time.time()
         x0 = np.zeros((solver.nn, 3))
@@ -231,8 +233,8 @@ def run_row(name):
         )
         u, p = solver.fields(x)
         row = (
-            f"| {name} | {ms:.0f} (whole solve) | {int(iters)} refine | - "
-            f"| - | {setup:.0f} | NE1000 legacy deck, dense_lu, "
+            f"| {name} | {ms:.0f} (whole solve) | direct | - "
+            f"| - | {setup:.0f} | NE1000 legacy deck, splu, "
             f"rel_res={rel_res:.1e} converged={rel_res < 1e-8} |"
         )
         print(row, flush=True)

@@ -21,3 +21,6 @@ echo "== DONE"
 
 echo "== E. unstructured rows re-measured with the banded pressure path"
 timeout 3600 python scripts/bench_matrix.py ell bfs
+
+echo "== F. stokes row via splu (dense_lu measured 403 s: lu_factor is TPU-hostile)"
+timeout 1200 python scripts/bench_matrix.py stokes
