@@ -24,3 +24,6 @@ timeout 3600 python scripts/bench_matrix.py ell bfs
 
 echo "== F. stokes row via splu (dense_lu measured 403 s: lu_factor is TPU-hostile)"
 timeout 1200 python scripts/bench_matrix.py stokes
+
+echo "== G. spmd1 re-measure (first pass contended with concurrent CPU load)"
+timeout 1800 python scripts/bench_matrix.py spmd1
