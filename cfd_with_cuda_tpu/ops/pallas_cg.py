@@ -50,6 +50,19 @@ __all__ = ["fused_cg", "cg_weight_layout"]
 KP = 16             # weight planes per DMA block (~2 MB at 31^3)
 _DIV_FLOOR = 1e-35  # matches ops.krylov._DIV_FLOOR
 
+# The double-buffered weight scratch is 2 * KP * s_pad * 4 bytes and has
+# to fit VMEM (~16 MB) NEXT TO the iterate vectors: at the NE125000
+# deck's 51^3 coarse grid KP=16 alone is 17 MB and the remote Mosaic
+# compile dies (BENCH_MATRIX rounds 4-5).  Halve KP until the scratch
+# fits a 4 MB budget.
+
+
+def pick_kp(s_pad: int, budget_bytes: int = 4 << 20) -> int:
+    kp = KP
+    while kp > 2 and 2 * kp * s_pad * 4 > budget_bytes:
+        kp //= 2
+    return kp
+
 
 def cg_weight_layout(win: np.ndarray, dims, radius: int,
                      sym: bool = False, offs=None) -> np.ndarray:
@@ -109,10 +122,11 @@ def cg_weight_layout(win: np.ndarray, dims, radius: int,
                 )
         win = win[c:]
         w3 = win.shape[0]
-    nb = _round_up(w3, KP) // KP
-    out = np.zeros((nb * KP, s_pad), win.dtype)
+    kp = pick_kp(s_pad)
+    nb = _round_up(w3, kp) // kp
+    out = np.zeros((nb * kp, s_pad), win.dtype)
     out[:w3, :s] = win
-    return out.reshape(nb, KP, s_pad)
+    return out.reshape(nb, kp, s_pad)
 
 
 def _interpret() -> bool:
@@ -235,6 +249,7 @@ def _apply_window(
     land in ``back_ref``'s halo tail and are never read back.
     """
     w3 = len(offs)
+    kp = wbuf.shape[1]          # DMA block height (pick_kp at call site)
 
     def dma(slot, blk):
         # index as i32: under jax x64 a bare python int lowers to i64,
@@ -252,8 +267,8 @@ def _apply_window(
         if b + 1 < nb:
             dma((b + 1) % 2, b + 1).start()
         dma(b % 2, b).wait()
-        for j in range(KP):
-            idx = b * KP + j
+        for j in range(kp):
+            idx = b * kp + j
             if idx >= w3:
                 break
             w = wbuf[b % 2, j, :][None, :]
@@ -485,21 +500,22 @@ def fused_cg(
             raise ValueError("sym needs a mirror-symmetric offset set")
         offs = tuple(offs[c:])
         w3 = len(offs)
-    nb = _round_up(w3, KP) // KP
+    kp = pick_kp(s_pad)
+    nb = _round_up(w3, kp) // kp
 
     if win.ndim == 3:
-        # already in the (nb, KP, s_pad) DMA-block layout
+        # already in the (nb, kp, s_pad) DMA-block layout
         # (cg_weight_layout(sym=sym), done once on the host at setup)
-        assert win.shape == (nb, KP, s_pad), (win.shape, (nb, KP, s_pad))
+        assert win.shape == (nb, kp, s_pad), (win.shape, (nb, kp, s_pad))
         win_p = win
     else:
         # (w3, s) raw window: full table expected; take the half here
         assert win.shape[-1] == s, (win.shape, s)
         win_half = win[-w3:] if sym else win
         assert win_half.shape == (w3, s), (win_half.shape, (w3, s))
-        win_p = jnp.zeros((nb * KP, s_pad), dtype)
+        win_p = jnp.zeros((nb * kp, s_pad), dtype)
         win_p = win_p.at[:w3, :s].set(win_half)
-        win_p = win_p.reshape(nb, KP, s_pad)
+        win_p = win_p.reshape(nb, kp, s_pad)
 
     def pad1(v):
         # skip the pad when the caller already laid the vector out at
@@ -545,7 +561,7 @@ def fused_cg(
             scratch_shapes=[
                 pltpu.VMEM((1, s_pad), dtype),      # r
                 pltpu.VMEM((1, s_ext), dtype),      # p_ext
-                pltpu.VMEM((2, KP, s_pad), dtype),
+                pltpu.VMEM((2, kp, s_pad), dtype),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((1, back_sz), dtype),
             ],
@@ -573,7 +589,7 @@ def fused_cg(
             jax.ShapeDtypeStruct((1, 1), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, KP, s_pad), dtype),
+            pltpu.VMEM((2, kp, s_pad), dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((1, back_sz), dtype),
         ],
@@ -605,7 +621,7 @@ def fused_cg(
         ],
         scratch_shapes=[
             pltpu.VMEM((1, s_ext), dtype),
-            pltpu.VMEM((2, KP, s_pad), dtype),
+            pltpu.VMEM((2, kp, s_pad), dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((1, back_sz), dtype),
         ],

@@ -35,7 +35,7 @@ __all__ = [
 
 # bump when solver snapshot layouts change — stale entries just miss
 # (17: 16 briefly shipped mid-development without the f64 DIA keys)
-SCHEMA = 18
+SCHEMA = 19
 
 
 def default_cache_dir() -> str | None:

@@ -27,3 +27,6 @@ timeout 1200 python scripts/bench_matrix.py stokes
 
 echo "== G. spmd1 re-measure (first pass contended with concurrent CPU load)"
 timeout 1800 python scripts/bench_matrix.py spmd1
+
+echo "== H. ne125/ne85 with the adaptive-KP CG weight blocks"
+timeout 5400 python scripts/bench_matrix.py ne125 ne85
