@@ -108,7 +108,7 @@ def cg(
     maxiter: int = 1000,
     precond: Callable | None = None,
     dot_dtype=None,
-    rtol_base: str = "b",
+    miniter: int = 0,
 ) -> KrylovResult:
     """Preconditioned conjugate gradient (SPD systems)."""
     M = precond or _identity_precond
@@ -119,23 +119,10 @@ def cg(
     p = z
     rz = dot(r, z)
     bound = jnp.maximum(tol * _max(norm(b)), atol)
-    if rtol_base == "r0":
-        # warm-started semantics: a ||b||-relative bound with an
-        # M/dt-inflated b lets a warm-started solve exit at 0
-        # iterations, freezing the outer iteration at an unconverged
-        # state (the Re=1000 step-463 freeze, docs/VALIDATION.md
-        # round 5).  Cap the bound at 1% of the WARM residual: never
-        # looser than the reference's bound, and guarantees >= 100x
-        # residual reduction per solve whenever r0 != 0, so the outer
-        # loop always makes progress.  atol still floors it at the
-        # true fixed point.
-        bound = jnp.maximum(
-            jnp.minimum(bound, 0.01 * _max(norm(r))), atol
-        )
 
     def cond(state):
         x, r, z, p, rz, k = state
-        return (k < maxiter) & (_max(norm(r)) > bound)
+        return (k < miniter) | ((k < maxiter) & (_max(norm(r)) > bound))
 
     def body(state):
         x, r, z, p, rz, k = state
@@ -163,7 +150,7 @@ def cr(
     maxiter: int = 1000,
     precond: Callable | None = None,
     dot_dtype=None,
-    rtol_base: str = "b",
+    miniter: int = 0,
 ) -> KrylovResult:
     """Preconditioned conjugate residual (symmetric systems)."""
     M = precond or _identity_precond
@@ -179,23 +166,10 @@ def cr(
     # difference — with Jacobi M the (r, Az) form genuinely diverges
     zAz = dot(z, Az)
     bound = jnp.maximum(tol * _max(norm(b)), atol)
-    if rtol_base == "r0":
-        # warm-started semantics: a ||b||-relative bound with an
-        # M/dt-inflated b lets a warm-started solve exit at 0
-        # iterations, freezing the outer iteration at an unconverged
-        # state (the Re=1000 step-463 freeze, docs/VALIDATION.md
-        # round 5).  Cap the bound at 1% of the WARM residual: never
-        # looser than the reference's bound, and guarantees >= 100x
-        # residual reduction per solve whenever r0 != 0, so the outer
-        # loop always makes progress.  atol still floors it at the
-        # true fixed point.
-        bound = jnp.maximum(
-            jnp.minimum(bound, 0.01 * _max(norm(r))), atol
-        )
 
     def cond(state):
         x, r, z, p, Ap, zAz, k = state
-        return (k < maxiter) & (_max(norm(r)) > bound)
+        return (k < miniter) | ((k < maxiter) & (_max(norm(r)) > bound))
 
     def body(state):
         x, r, z, p, Ap, zAz, k = state
@@ -227,7 +201,7 @@ def bicg(
     precond: Callable | None = None,
     dot_dtype=None,
     assume_symmetric: bool = False,
-    rtol_base: str = "b",
+    miniter: int = 0,
 ) -> KrylovResult:
     """BiConjugate gradient (general systems; needs A^T matvec).
 
@@ -250,7 +224,7 @@ def bicg(
         # the matvec cost — BiCG literally IS CG here
         return cg(
             matvec, b, x0, tol=tol, atol=atol, maxiter=maxiter,
-            precond=precond, dot_dtype=dot_dtype, rtol_base=rtol_base,
+            precond=precond, dot_dtype=dot_dtype, miniter=miniter,
         )
     M = precond or _identity_precond
     dot, norm = _make_dot(dot_dtype)
@@ -263,23 +237,10 @@ def bicg(
     p, pt = z, zt
     rz = dot(rt, z)
     bound = jnp.maximum(tol * _max(norm(b)), atol)
-    if rtol_base == "r0":
-        # warm-started semantics: a ||b||-relative bound with an
-        # M/dt-inflated b lets a warm-started solve exit at 0
-        # iterations, freezing the outer iteration at an unconverged
-        # state (the Re=1000 step-463 freeze, docs/VALIDATION.md
-        # round 5).  Cap the bound at 1% of the WARM residual: never
-        # looser than the reference's bound, and guarantees >= 100x
-        # residual reduction per solve whenever r0 != 0, so the outer
-        # loop always makes progress.  atol still floors it at the
-        # true fixed point.
-        bound = jnp.maximum(
-            jnp.minimum(bound, 0.01 * _max(norm(r))), atol
-        )
 
     def cond(state):
         x, r, rt, p, pt, rz, k = state
-        return (k < maxiter) & (_max(norm(r)) > bound)
+        return (k < miniter) | ((k < maxiter) & (_max(norm(r)) > bound))
 
     def body(state):
         x, r, rt, p, pt, rz, k = state
@@ -311,7 +272,7 @@ def bicgstab(
     maxiter: int = 1000,
     precond: Callable | None = None,
     dot_dtype=None,
-    rtol_base: str = "b",
+    miniter: int = 0,
 ) -> KrylovResult:
     """Preconditioned BiCGStab (general systems) — the reference's momentum
     solver (Paralution / cusp::krylov::bicgstab)."""
@@ -323,23 +284,10 @@ def bicgstab(
     rho = dot(rhat, r)
     p = r
     bound = jnp.maximum(tol * _max(norm(b)), atol)
-    if rtol_base == "r0":
-        # warm-started semantics: a ||b||-relative bound with an
-        # M/dt-inflated b lets a warm-started solve exit at 0
-        # iterations, freezing the outer iteration at an unconverged
-        # state (the Re=1000 step-463 freeze, docs/VALIDATION.md
-        # round 5).  Cap the bound at 1% of the WARM residual: never
-        # looser than the reference's bound, and guarantees >= 100x
-        # residual reduction per solve whenever r0 != 0, so the outer
-        # loop always makes progress.  atol still floors it at the
-        # true fixed point.
-        bound = jnp.maximum(
-            jnp.minimum(bound, 0.01 * _max(norm(r))), atol
-        )
 
     def cond(state):
         x, r, p, rho, k = state
-        return (k < maxiter) & (_max(norm(r)) > bound)
+        return (k < miniter) | ((k < maxiter) & (_max(norm(r)) > bound))
 
     def body(state):
         x, r, p, rho, k = state
@@ -364,7 +312,7 @@ def bicgstab(
 
 def _gmres_single(
     matvec, b, x0, *, tol, atol, maxiter, restart, precond, dot_dtype=None,
-    rtol_base: str = "b",
+    miniter: int = 0,
 ) -> KrylovResult:
     """Restarted GMRES on a single (N,) system, right-preconditioned.
 
@@ -383,13 +331,6 @@ def _gmres_single(
     n = b.shape[0]
     m = restart
     bound = jnp.maximum(tol * jnp.linalg.norm(b), atol)
-    if rtol_base == "r0":
-        # warm-started semantics: see the cg/bicgstab bound comment
-        x_w = jnp.zeros_like(b) if x0 is None else x0
-        bound = jnp.maximum(
-            jnp.minimum(bound, 0.01 * jnp.linalg.norm(b - matvec(x_w))),
-            atol,
-        )
     eps = jnp.asarray(_DIV_FLOOR, b.dtype)  # not finfo.tiny: see _DIV_FLOOR
 
     def arnoldi_cycle(x):
@@ -452,7 +393,7 @@ def _gmres_single(
     def cond(state):
         x, k = state
         r = b - matvec(x)
-        return (k < maxiter) & (jnp.linalg.norm(r) > bound)
+        return (k < miniter) | ((k < maxiter) & (jnp.linalg.norm(r) > bound))
 
     def body(state):
         x, k = state
@@ -474,7 +415,7 @@ def gmres(
     restart: int = 100,
     precond: Callable | None = None,
     dot_dtype=None,
-    rtol_base: str = "b",
+    miniter: int = 0,
 ) -> KrylovResult:
     """Restarted GMRES — the reference's CUSP momentum/monolithic solver
     (``oldFiles/segregatedSolver/CUSP_GMRES.cu:75``, restart=100).
@@ -486,14 +427,14 @@ def gmres(
         return _gmres_single(
             matvec, b, x0, tol=tol, atol=atol, maxiter=maxiter,
             restart=restart, precond=precond, dot_dtype=dot_dtype,
-            rtol_base=rtol_base,
+            miniter=miniter,
         )
 
     def solve_col(bc, x0c):
         return _gmres_single(
             matvec, bc, x0c, tol=tol, atol=atol, maxiter=maxiter,
             restart=restart, precond=precond, dot_dtype=dot_dtype,
-            rtol_base=rtol_base,
+            miniter=miniter,
         )
 
     x0_cols = jnp.zeros_like(b) if x0 is None else x0

@@ -776,12 +776,17 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             tol=cfg.momentum_tol,
             atol=cfg.momentum_abs_tol,
             maxiter=cfg.momentum_maxiter,
-            # warm-started solves reduce the WARM residual by tol (the
+            # warm-started solves take AT LEAST one Krylov step (the
             # ||b||-relative bound is inflated by the M/dt term and lets
             # a warm solve exit at 0 iterations, freezing the time loop
             # at an unconverged state — the Re=1000 step-463 freeze,
-            # docs/VALIDATION.md round 5); never looser than reference
-            rtol_base="r0" if warm else "b",
+            # docs/VALIDATION.md round 5).  The earlier fix (bound capped
+            # at 1% of the warm residual) chased an f32-unattainable
+            # residual once the warm start was already converged —
+            # momentum solves ground at maxiter and broke down to NaN
+            # (Re=1000 round-5 rerun).  miniter keeps the reference's
+            # exact bound and merely forbids the zero-iteration exit.
+            miniter=1 if warm else 0,
             dot_dtype=cfg.krylov_dot_dtype(),
             precond=lambda r: r / a_diag,
         )
@@ -1002,12 +1007,17 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             tol=cfg.momentum_tol,
             atol=cfg.momentum_abs_tol,
             maxiter=cfg.momentum_maxiter,
-            # warm-started solves reduce the WARM residual by tol (the
+            # warm-started solves take AT LEAST one Krylov step (the
             # ||b||-relative bound is inflated by the M/dt term and lets
             # a warm solve exit at 0 iterations, freezing the time loop
             # at an unconverged state — the Re=1000 step-463 freeze,
-            # docs/VALIDATION.md round 5); never looser than reference
-            rtol_base="r0" if warm else "b",
+            # docs/VALIDATION.md round 5).  The earlier fix (bound capped
+            # at 1% of the warm residual) chased an f32-unattainable
+            # residual once the warm start was already converged —
+            # momentum solves ground at maxiter and broke down to NaN
+            # (Re=1000 round-5 rerun).  miniter keeps the reference's
+            # exact bound and merely forbids the zero-iteration exit.
+            miniter=1 if warm else 0,
             dot_dtype=cfg.krylov_dot_dtype(),
             precond=lambda r: r / a_diag,
         )
@@ -1138,12 +1148,17 @@ class ImplicitGQSolver(ChunkedTimeLoop):
             tol=cfg.momentum_tol,
             atol=cfg.momentum_abs_tol,
             maxiter=cfg.momentum_maxiter,
-            # warm-started solves reduce the WARM residual by tol (the
+            # warm-started solves take AT LEAST one Krylov step (the
             # ||b||-relative bound is inflated by the M/dt term and lets
             # a warm solve exit at 0 iterations, freezing the time loop
             # at an unconverged state — the Re=1000 step-463 freeze,
-            # docs/VALIDATION.md round 5); never looser than reference
-            rtol_base="r0" if warm else "b",
+            # docs/VALIDATION.md round 5).  The earlier fix (bound capped
+            # at 1% of the warm residual) chased an f32-unattainable
+            # residual once the warm start was already converged —
+            # momentum solves ground at maxiter and broke down to NaN
+            # (Re=1000 round-5 rerun).  miniter keeps the reference's
+            # exact bound and merely forbids the zero-iteration exit.
+            miniter=1 if warm else 0,
             dot_dtype=cfg.krylov_dot_dtype(),
             precond=lambda r: r / a_diag,
         )
