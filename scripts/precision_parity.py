@@ -59,7 +59,11 @@ def worker(policy: str, n_steps: int, out: str) -> None:
            "f64": DTypePolicy.F64}[policy]
     deck = (read_deck(REF_DECK) if os.path.exists(REF_DECK)
             else cavity_deck(30, cluster=2.0, viscosity=0.01, dt=0.001))
-    chunk = 25
+    # f64 steps are ~20x f32 under x64 emulation: a 25-step dispatch
+    # (~2.5 min device time) trips the tunnel worker watchdog — the
+    # round-5 "TPU worker crashed" f64 failure.  chunk=5 matches the
+    # explicit64 bench row that runs clean.
+    chunk = 5 if policy == "f64" else 25
     solver = ExplicitBCHSolver(deck, SolverConfig(
         dtype_policy=pol,
         # the reference's own explicit-path pressure tolerance
