@@ -150,3 +150,29 @@ def test_cavity_smoke_physics():
     # rough band vs Ghia on the still-developing field
     err_u, err_v = check_against_ghia(z, u_x, x, u_z, re=100)
     assert err_u < 0.25 and err_v < 0.25, (err_u, err_v)
+
+
+def test_stored_precision_parity_ne27000():
+    """f32 / MIXED vs f64 on the canonical NE27000 deck (100 steps,
+    stored by scripts/precision_parity.py on TPU): the speed policies
+    track the reference-precision run — monitor trace to ~1e-6,
+    fieldwise to sub-percent of the velocity scale (VERDICT r3 #2 /
+    r4 #2 artifact).  The reference is f64 throughout
+    (blascoCodinaHuerta.cpp:130-134); f32 is this framework's speed
+    mode and MIXED its compensated-reduction middle ground."""
+    path = (
+        Path(__file__).resolve().parents[1]
+        / "cfd_with_cuda_tpu" / "validation" / "data"
+        / "precision_ne27000.npz"
+    )
+    d = np.load(path)
+    ref_u = d["f64_u"]
+    scale = np.abs(ref_u).max()
+    for pol in ("f32", "mixed"):
+        du_mon = np.max(np.abs(d[f"{pol}_u_mon"] - d["f64_u_mon"]))
+        dfield = np.max(np.abs(d[f"{pol}_u"] - ref_u)) / scale
+        assert du_mon < 1e-5, (pol, du_mon)
+        assert dfield < 1e-2, (pol, dfield)
+    # all three ran on real hardware
+    for pol in ("f32", "mixed", "f64"):
+        assert str(d[f"{pol}_platform"]) in ("tpu", "axon"), pol
