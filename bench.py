@@ -117,10 +117,13 @@ def main():
         # reference's CUSP CG), only the iteration count drops
         pressure_warm_start=True,
     )
-    # fallback ladder: parity-split Pallas (fastest) -> interleaved
+    # fallback ladder: parity-split Pallas with the whole-solve fused CG
+    # (measured 4.95 vs 5.06 ms/step over the per-iteration kernel,
+    # diag_cg_fuse round 5) -> same without fuse_loop -> interleaved
     # Pallas -> XLA pressure CG.  The bench must emit a number even if a
     # kernel path fails to Mosaic-compile on the current runtime.
     ladder = (
+        {"pressure_cg_fuse_loop": True},
         {},
         {"structured_layout": "interleaved"},
         {"structured_layout": "interleaved", "pressure_backend": "xla"},
