@@ -52,22 +52,37 @@ def deck_from_mesh(
     title: str = "converted mesh",
     viscosity: float = 1.0,
     density: float = 1.0,
+    quadratic: bool = False,
 ) -> Deck:
-    """Assemble a legacy-dialect Deck from raw mesh + BC group data.
+    """Assemble a Deck from raw mesh + BC group data.
 
     ``bc_groups``: group name -> node ids; ``bc_table``: list of
     (bc_type, (vx, vy, vz)); ``group_bc``: group name -> index into
     bc_table.
+
+    Default: the legacy equal-order dialect (etype 3 hex / 4 tet — the
+    role of ``neuToInp.m``/``unvToInp.m``, feeding the legacy solvers).
+    ``quadratic=True`` declares the fractionalStep Q2/Q1 hex pair
+    instead (etype 1, NENv 27 / NENp 8 — the corner mesh is promoted to
+    27-node elements inside the solver), so the SAME import runs the
+    flagship explicit/implicit integrators.
     """
     nen = conn.shape[1]
     deck = Deck(dialect="legacy", title=title)
-    deck.etype = 3 if nen == 8 else 4
     deck.ne = conn.shape[0]
     deck.ncn = deck.nn = coords.shape[0]
-    deck.nenv = deck.nenp = nen
-    deck.ngp = 8 if nen == 8 else 4
+    if quadratic:
+        if nen != 8:
+            raise ValueError("quadratic promotion needs 8-node hex input")
+        deck.etype = 1
+        deck.nenv, deck.nenp, deck.ngp = 27, 8, 8
+    else:
+        deck.etype = 3 if nen == 8 else 4
+        deck.nenv = deck.nenp = nen
+        deck.ngp = 8 if nen == 8 else 4
     deck.max_iter = 100
     deck.tolerance = 1e-6
+    deck.t_ini = 0.0
     deck.solver_iter_max = 2000
     deck.solver_tol = 1e-10
     deck.density = density
@@ -97,6 +112,33 @@ def deck_from_mesh(
     ).astype(np.int64)
     if len(deck.bc_pres_nodes):
         deck.zero_pressure_node = int(deck.bc_pres_nodes[0, 0])
+
+    # Reconstruct FACE-typed velocity BCs from the node groups: a hex
+    # face belongs to a group when all 4 of its corner nodes do.  The
+    # fractional-step solvers consume ``bc_vel_faces`` (the reference's
+    # deck dialect lists faces, ``blascoCodinaHuerta.cpp:1410-1580``) so
+    # without this a converter-imported mesh could only feed the legacy
+    # solvers; with it the SAME .neu/.unv import runs the flagship
+    # explicit/implicit integrators (mid-edge/face nodes of the promoted
+    # 27-node element inherit the BC through face_bc_to_node_bc).
+    if nen == 8 and vel_rows:
+        from cfd_with_cuda_tpu.fem.shape import HEX_FACE_CORNERS
+
+        face_rows = []
+        for name, nodes in bc_groups.items():
+            b = group_bc.get(name)
+            if b is None or bc_table[b][0] == 2:
+                continue
+            in_group = np.zeros(deck.nn, bool)
+            in_group[np.asarray(nodes, np.int64)] = True
+            fn = conn[:, HEX_FACE_CORNERS]                 # (NE, 6, 4)
+            hit = in_group[fn].all(axis=2)                 # (NE, 6)
+            e, f = np.nonzero(hit)
+            face_rows.append(
+                np.column_stack([e, f, np.full(e.size, b)])
+            )
+        if face_rows:
+            deck.bc_vel_faces = np.concatenate(face_rows).astype(np.int64)
     return deck
 
 
