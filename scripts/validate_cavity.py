@@ -78,9 +78,19 @@ def main():
     tag = "implicit" if "--implicit" in sys.argv else "explicit"
     if solver_cls is ImplicitGQSolver:
         # one pass/dt (no sub-iterations); dt=1e-3 would need 250k solves —
-        # the implicit scheme is stable at much larger steps
-        deck.dt = 0.01
-        deck.max_iter = 1
+        # the implicit scheme is stable at much larger steps.  At Re=1000
+        # the one-pass Picard linearization at dt=0.01 is NOT stable on
+        # the clustered 40^3 mesh (near-wall advective CFL ~0.8): the
+        # round-5 run drifted into a growing oscillation (Ghia errors
+        # 0.22 -> 0.48 over t=150..225).  Halve dt and run 2 Picard
+        # passes there.
+        if re1000:
+            deck.dt = 0.005
+            deck.max_iter = 2
+            deck.tolerance = 1e-4
+        else:
+            deck.dt = 0.01
+            deck.max_iter = 1
     elif "--refparity" not in sys.argv:
         # converged nonlinear sub-iterations (see module docstring)
         deck.max_iter = 10
