@@ -57,8 +57,19 @@ def main():
     re1000 = "--re1000" in sys.argv
     if re1000:
         re = 1000
+        # --nside: mesh refinement (default 40^3).  At 40^3 the interior
+        # cell-Peclet u*h/nu is ~20-25 and the plain-Galerkin convection
+        # (the reference's own discretization — no SUPG in the
+        # fractional-step solvers) sustains a dispersive limit cycle;
+        # the refined 56^3 run is the validation configuration (the
+        # reference's stripped NE85000/NE125000 cavity decks are exactly
+        # this refinement class).
+        nside = (
+            int(sys.argv[sys.argv.index("--nside") + 1])
+            if "--nside" in sys.argv else 40
+        )
         deck = cavity_deck(
-            40, cluster=2.0, viscosity=0.001, dt=0.002, t_final=150.0,
+            nside, cluster=2.0, viscosity=0.001, dt=0.002, t_final=150.0,
             convergence=2e-5,
         )
         max_steps = 75000
@@ -85,7 +96,7 @@ def main():
         # 0.22 -> 0.48 over t=150..225).  Halve dt and run 2 Picard
         # passes there.
         if re1000:
-            deck.dt = 0.005
+            deck.dt = round(0.2 / nside, 4)   # near-wall advective CFL ~0.5
             deck.max_iter = 2
             deck.tolerance = 1e-4
         else:
