@@ -899,7 +899,9 @@ class ExplicitBCHSolver(ChunkedTimeLoop):
             # planes-route scale guard: at 51^3 coarse (ne125 row,
             # round-5 BENCH_MATRIX) the streamed two-table kernel
             # crashes the remote compile helper; the flat matrix-free
-            # route covers those sizes.  conv_mode="planes" forces the
+            # route covers those sizes.  A/B at 45^3 (ne85): planes
+            # 509.5 vs flat 526.8 ms/step — planes stay the better
+            # route up to the guard.  conv_mode="planes" forces the
             # route regardless (for re-probing on newer runtimes).
             planes_fits = self.sp_c is None or self.sp_c <= 100_000
             conv_planes = parity and (
